@@ -1,0 +1,134 @@
+"""Text-analysis columns for training-data pipelines.
+
+All builders are pure JVM column expressions (split/regexp/md5/array
+ops) so they vectorize inside whole-stage codegen AND have an exact
+ANSI-SQL twin that DuckDB can run — the driver's correctness gate
+compares both (``__spark_entry__.oracle_sql``). Where a formula uses
+floats the queries round, so cross-engine value-hashes match.
+
+Operators: tokenization, token counts, language ID (stopword-hit
+heuristic), quality scoring (length/punct/stopword ratios), document
+fingerprinting (normalized-text md5 + shingle rolling fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word-pieces of <=4 chars + digits +
+    punctuation marks counted separately (a BPE-like regex heuristic —
+    counts matches of the piece pattern, not whitespace words)."""
+    pieces = F.regexp_extract_all(
+        F.lower(text), F.lit(r"([a-z]{1,4}|[0-9]|[^a-z0-9\s])"), 1
+    )
+    return F.size(pieces)
+
+
+#: small deterministic stopword sets per language (public common words)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for", "on", "this", "that", "are"],
+    "de": ["der", "die", "das", "und", "mit", "für", "von", "ist", "im", "ein", "eine", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "pour", "au"],
+    "it": ["il", "la", "di", "e", "un", "una", "per", "con", "del", "che", "in", "è"],
+    "nl": ["de", "het", "een", "en", "van", "met", "voor", "op", "is", "aan", "bij", "te"],
+}
+
+LANG_ORDER = ["en", "de", "fr", "it", "nl"]
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of stopword hits, ties broken by LANG_ORDER; 'und'
+    (undetermined) when no language scores a hit."""
+    hits = {lg: stopword_hits(text, lg) for lg in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lg in LANG_ORDER:
+        expr = expr.when(hits[lg] == best, F.lit(lg))
+    return expr
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"([^\w\s])"), 1))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic in [0,1]: rewards moderate length, real words, low
+    punctuation density — the usual pretraining-corpus gate features.
+
+    score = 0.4*min(1, n_tokens/100) + 0.4*min(1, 8*stopword_ratio)
+            + 0.2*(1 - min(1, 4*punct_ratio))
+    """
+    n_tok = token_count(text).cast("double")
+    n_char = F.length(text).cast("double")
+    sw = stopword_hits(text, "en").cast("double")
+    p = punct_count(text).cast("double")
+    sw_ratio = F.when(n_tok > 0, sw / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, p / n_char).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.4) * F.least(F.lit(1.0), F.lit(8.0) * sw_ratio)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio))
+    )
+    return F.round(score, 4)
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normal form: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """md5 of the normalized text — exact-dup key."""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; empty array when fewer than n tokens.
+
+    Built with sequence+transform+slice — pure JVM, no explode needed at
+    call sites that only need the array.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 3) -> list[Column]:
+    """MinHash signature via lexicographic min over seeded md5 of shingles.
+
+    ``min(md5(seed || ':' || shingle))`` over fixed-width lowercase hex
+    is a min over the 128-bit hash value — a valid permutation-min, and
+    bit-identical in any engine with md5 (DuckDB oracle parity).
+    Returns one column per hash seed.
+    """
+    sh = word_shingles(text, shingle_n)
+    out = []
+    for j in range(n_hashes):
+        hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        out.append(F.array_min(hashed).alias(f"mh{j}"))
+    return out

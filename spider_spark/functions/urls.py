@@ -1,0 +1,138 @@
+"""URL canonicalization, fingerprinting and host partitioning.
+
+Reproduces the *observable* dedup semantics of Scrapy 2.3's
+``RFPDupeFilter`` (the reference never overrides ``DUPEFILTER_CLASS``;
+``python_spiders/settings.py`` has no scheduler overrides): a request's
+fingerprint is a SHA1 over (method, canonicalized URL, body), where
+canonicalization lowercases scheme/host, strips the fragment, removes
+default ports, normalizes the path, and sorts query parameters
+(w3lib ``canonicalize_url`` behavior).
+
+Design notes (scale):
+
+* ``canonicalize_urls`` is a **pandas UDF** — one Arrow batch in, one
+  out; the per-batch work is C-backed pandas ``str`` ops plus a tight
+  loop only over the query-string tail. No row-at-a-time Spark UDFs.
+* ``fingerprint_col`` is **pure JVM** (``sha1(concat_ws(...))``) so the
+  hot dedup path stays inside whole-stage codegen.
+* ``host_bucket_col`` = ``pmod(xxhash64(host), n_buckets)`` — the crawl
+  state (seen-set, Bloom sidecars, politeness windows) is partitioned by
+  this bucket; at 10^10 URLs each bucket holds ~10^10/n_buckets
+  fingerprints and buckets are the unit of shuffle + checkpoint lineage.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+_SPLIT_RE = r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def _canon_query(q: str) -> str:
+    """Sort query params by (key, value), keep blank values (w3lib rule)."""
+    if not q:
+        return ""
+    parts = [p for p in q.split("&") if p]
+    keyed = []
+    for p in parts:
+        k, sep, v = p.partition("=")
+        keyed.append((k, v))
+    keyed.sort()
+    return "&".join(f"{k}={v}" for k, v in keyed)
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization of absolute URLs.
+
+    pandas ``str.extract`` does the URL split for the whole Arrow batch
+    in one C pass; only the (typically short/absent) query strings are
+    touched by a Python loop.
+    """
+    urls = urls.fillna("").astype(str)
+    parts = urls.str.extract(_SPLIT_RE)
+    scheme = parts[0].fillna("http").str.lower()
+    netloc = parts[1].fillna("").str.lower()
+    path = parts[2].fillna("")
+    query = parts[3].fillna("")
+
+    # strip default port (vectorized per scheme)
+    for sch, port in DEFAULT_PORTS.items():
+        suffix = ":" + port
+        mask = (scheme == sch) & netloc.str.endswith(suffix)
+        if mask.any():
+            netloc = netloc.mask(mask, netloc.str.slice(0, -len(suffix)))
+
+    path = path.mask(path == "", "/")
+    # collapse duplicate slashes inside the path (common relative-join artifact)
+    path = path.str.replace(r"/{2,}", "/", regex=True)
+
+    has_q = query != ""
+    if has_q.any():
+        query = query.where(~has_q, query[has_q].map(_canon_query))
+    out = scheme + "://" + netloc + path
+    out = out.where(~has_q, out + "?" + query)
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
+    """urljoin(base, href) per batch — relative->absolute resolution.
+
+    Mirrors ``response.urljoin`` used by 2,553 reference spiders
+    (e.g. ``python_spiders/spiders/der_immo_tip.py:33``).
+    """
+    out = [urljoin(b if isinstance(b, str) else "", h if isinstance(h, str) else "") for b, h in zip(base, href)]
+    return pd.Series(out, index=href.index, dtype="object")
+
+
+@F.pandas_udf(T.StringType())
+def resolve_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return resolve_series(base, href)
+
+
+def host_col(canonical_url: Column) -> Column:
+    """Host (netloc without userinfo/port) from a canonical URL — JVM regex."""
+    return F.regexp_extract(canonical_url, r"^[a-z0-9+.-]+://(?:[^/@]*@)?([^/:?#]*)", 1)
+
+
+def fingerprint_col(method: Column, canonical_url: Column, body: Column) -> Column:
+    """sha1(method + canonical_url + body) — the RFPDupeFilter analog.
+
+    Stays JVM-side (codegen'd) so deduping 10^10 rows never crosses the
+    Python boundary. NUL separators prevent ambiguity between fields.
+    """
+    return F.sha1(
+        F.concat_ws(
+            "\x00",
+            F.upper(F.coalesce(method, F.lit("GET"))),
+            F.coalesce(canonical_url, F.lit("")),
+            F.coalesce(body, F.lit("")),
+        )
+    )
+
+
+def host_bucket_col(host: Column, n_buckets: int) -> Column:
+    """Stable bucket id for crawl-state partitioning."""
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
+
+
+def with_url_identity(df, n_buckets: int, url_col: str = "url"):
+    """Attach canonical_url, host, host_bucket, fingerprint columns."""
+    df = df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+    df = df.withColumn("host", host_col(F.col("canonical_url")))
+    df = df.withColumn("host_bucket", host_bucket_col(F.col("host"), n_buckets))
+    method = F.col("method") if "method" in df.columns else F.lit("GET")
+    body = F.col("body") if "body" in df.columns else F.lit(None).cast("string")
+    df = df.withColumn("fingerprint", fingerprint_col(method, F.col("canonical_url"), body))
+    return df

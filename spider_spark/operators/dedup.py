@@ -1,0 +1,231 @@
+"""URL-seen / request dedup — the RFPDupeFilter analog.
+
+Scrapy semantics being reproduced (Scrapy 2.3 defaults; the reference
+sets no ``DUPEFILTER_CLASS`` override in ``python_spiders/settings.py``):
+
+* dedup happens at **enqueue time**: the first request carrying a
+  fingerprint is admitted AND recorded; later requests with the same
+  fingerprint are silently dropped;
+* ``dont_filter=True`` requests (810 reference spiders, e.g.
+  ``python_spiders/spiders/15walmer.py:112``) bypass the check and are
+  **not recorded** — a later normal request for the same URL is still
+  admitted once;
+* the seen set is scoped per crawl run (scrapyd starts one process per
+  spider run — ``docker/scrapyd.conf:12-13``), hence keyed by crawl_id.
+
+Two implementations, same contract:
+
+* :func:`dedup_exact` — ``left_anti`` join against the ``url_seen``
+  state table. Exact; the shuffle is on ``fingerprint`` and AQE handles
+  size. This is the correctness oracle for the Bloom path.
+* :class:`BloomSeenSet` — per-``host_bucket`` Bloom filters stored as
+  binary rows. Membership + insert run inside one ``applyInPandas``
+  cogroup over (candidates-by-bucket, filter-bytes-by-bucket): at
+  10^10 URLs the exact table is ~0.5 TB of SHA1s, while 1024 Bloom
+  buckets at 1e-4 FPR are ~30 GB total and each wave touches only the
+  buckets that have candidates. False positives DROP urls, so the FPR
+  budget is part of the API and tests cross-validate vs dedup_exact.
+
+Intra-batch dedup keeps the FIRST occurrence by ``discovered_seq``
+(Scrapy admits whichever request reaches the scheduler first; our
+discovery order is the deterministic analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact path
+# ---------------------------------------------------------------------------
+
+
+def dedup_intra_batch(candidates: DataFrame) -> DataFrame:
+    """Keep the first row per fingerprint within one admission batch.
+
+    ``dont_filter`` rows are exempt (never compared, never compared-to).
+    The window partitions by fingerprint — the same shuffle key the
+    anti-join uses, so AQE can reuse exchange.
+    """
+    filt = candidates.filter(~F.col("dont_filter"))
+    keep = (
+        filt.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy(
+                    F.asc("discovered_seq"), F.asc("canonical_url")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return keep.unionByName(candidates.filter(F.col("dont_filter")))
+
+
+def dedup_exact(candidates: DataFrame, url_seen: DataFrame) -> DataFrame:
+    """Admit candidates whose fingerprint is not in ``url_seen``.
+
+    ``url_seen`` carries (crawl_id, fingerprint). Join is a left_anti on
+    both keys; Catalyst plans a shuffled hash anti-join, AQE converts to
+    broadcast when the seen slice is small (early waves).
+    """
+    filt = candidates.filter(~F.col("dont_filter"))
+    fresh = filt.join(
+        url_seen.select("crawl_id", "fingerprint"),
+        on=["crawl_id", "fingerprint"],
+        how="left_anti",
+    )
+    return fresh.unionByName(candidates.filter(F.col("dont_filter")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom path
+# ---------------------------------------------------------------------------
+
+
+class BloomSpec:
+    """Sizing for one bucket's Bloom filter.
+
+    m bits / k hashes chosen for target fpr at ``capacity`` inserts:
+    m = -n ln p / (ln 2)^2, k = m/n ln 2.
+    """
+
+    def __init__(self, capacity: int = 1_000_000, fpr: float = 1e-4):
+        self.capacity = capacity
+        self.fpr = fpr
+        m = int(np.ceil(-capacity * np.log(fpr) / (np.log(2) ** 2)))
+        self.m_bits = max(1024, 1 << int(np.ceil(np.log2(m))))  # power of two
+        self.k = max(1, int(round(self.m_bits / capacity * np.log(2))))
+
+    def empty(self) -> bytes:
+        return bytes(self.m_bits // 8)
+
+
+def _hash_positions(fingerprints: pd.Series, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions per fingerprint — vectorized via numpy.
+
+    The fingerprint is already a SHA1 hex string; we derive k positions
+    from two independent 64-bit halves (Kirsch–Mitzenmacher double
+    hashing: pos_i = h1 + i*h2 mod m).
+    """
+    # hex -> two uint64 halves, vectorized through bytes
+    h1 = np.array([int(fp[:16], 16) for fp in fingerprints], dtype=np.uint64)
+    h2 = np.array([int(fp[16:32], 16) | 1 for fp in fingerprints], dtype=np.uint64)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_contains(filter_bytes: bytes, fingerprints: pd.Series, spec: BloomSpec) -> np.ndarray:
+    bits = np.frombuffer(filter_bytes, dtype=np.uint8)
+    pos = _hash_positions(fingerprints, spec.k, spec.m_bits)
+    byte_idx = (pos >> 3).astype(np.int64)
+    bit_mask = (1 << (pos & 7)).astype(np.uint8)
+    present = (bits[byte_idx] & bit_mask) == bit_mask
+    return present.all(axis=1)
+
+
+def bloom_insert(filter_bytes: bytes, fingerprints: pd.Series, spec: BloomSpec) -> bytes:
+    bits = np.frombuffer(filter_bytes, dtype=np.uint8).copy()
+    if len(fingerprints):
+        pos = _hash_positions(fingerprints, spec.k, spec.m_bits).ravel()
+        byte_idx = (pos >> 3).astype(np.int64)
+        bit_mask = (1 << (pos & 7)).astype(np.uint8)
+        np.bitwise_or.at(bits, byte_idx, bit_mask)
+    return bits.tobytes()
+
+
+def dedup_bloom(
+    candidates: DataFrame,
+    filters: DataFrame,
+    spec: BloomSpec,
+) -> DataFrame:
+    """Bloom-filtered admission, partitioned by host_bucket.
+
+    Parameters
+    ----------
+    candidates : frontier-shaped rows (already intra-batch deduped)
+    filters    : rows (crawl_id, host_bucket, filter_bytes) — current state
+
+    Returns the admitted rows; fold them into the filter state with
+    :func:`updated_filters` after admission.
+
+    Scale shape: one cogroup task per (crawl_id, host_bucket); the hot
+    path is numpy bit math over the whole Arrow batch. Filter bytes
+    never travel through the driver.
+    """
+    cand_cols = candidates.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    spec_k, spec_m = spec.k, spec.m_bits
+    empty = spec.empty()
+
+    def check(key, cand_iter_pdf, filt_pdf):
+        cand = cand_iter_pdf
+        if cand.empty:
+            return cand
+        fb = filt_pdf["filter_bytes"].iloc[0] if len(filt_pdf) else empty
+        local = BloomSpec.__new__(BloomSpec)
+        local.k, local.m_bits = spec_k, spec_m
+        nf = ~cand["dont_filter"].astype(bool)
+        keep = np.ones(len(cand), dtype=bool)
+        if nf.any():
+            present = bloom_contains(bytes(fb), cand.loc[nf, "fingerprint"], local)
+            keep[np.where(nf)[0]] = ~present
+        return cand.loc[keep]
+
+    admitted = (
+        candidates.groupBy("crawl_id", "host_bucket")
+        .cogroup(filters.groupBy("crawl_id", "host_bucket"))
+        .applyInPandas(lambda k, l, r: check(k, l, r), schema=out_schema)
+        .select(*cand_cols)
+    )
+    return admitted
+
+
+def updated_filters(
+    admitted: DataFrame,
+    filters: DataFrame,
+    spec: BloomSpec,
+    wave: int,
+) -> DataFrame:
+    """Fold the admitted (recorded) fingerprints into the bucket filters."""
+    spec_k, spec_m = spec.k, spec.m_bits
+    empty = spec.empty()
+
+    def fold(key, adm_pdf, filt_pdf):
+        crawl_id, bucket = key
+        recorded = adm_pdf.loc[~adm_pdf["dont_filter"].astype(bool), "fingerprint"]
+        fb = bytes(filt_pdf["filter_bytes"].iloc[0]) if len(filt_pdf) else empty
+        if len(recorded) == 0 and len(filt_pdf):
+            out = fb
+        else:
+            local = BloomSpec.__new__(BloomSpec)
+            local.k, local.m_bits = spec_k, spec_m
+            out = bloom_insert(fb, recorded, local)
+        return pd.DataFrame(
+            {
+                "crawl_id": [crawl_id],
+                "host_bucket": [int(bucket)],
+                "wave": [wave],
+                "filter_bytes": [out],
+            }
+        )
+
+    schema = "crawl_id string, host_bucket int, wave int, filter_bytes binary"
+    touched = (
+        admitted.select("crawl_id", "host_bucket", "fingerprint", "dont_filter")
+        .groupBy("crawl_id", "host_bucket")
+        .cogroup(filters.groupBy("crawl_id", "host_bucket"))
+        .applyInPandas(fold, schema=schema)
+    )
+    untouched = filters.join(
+        admitted.select("crawl_id", "host_bucket").distinct(),
+        on=["crawl_id", "host_bucket"],
+        how="left_anti",
+    ).select("crawl_id", "host_bucket", "wave", "filter_bytes")
+    return touched.unionByName(untouched)

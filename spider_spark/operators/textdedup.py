@@ -1,0 +1,253 @@
+"""Corpus deduplication operators over the ``documents`` text table.
+
+The scale-path toolbox a 100 TB training-data pipeline needs:
+
+* :func:`exact_dedup` — md5-of-normalized-text groupBy; keep min doc_id.
+  One shuffle on the 16-byte digest (never on the text itself).
+* :func:`minhash_lsh_pairs` — shingle -> seeded-md5 MinHash signature ->
+  band buckets -> self-join within buckets. The self-join key is
+  (band_idx, band_hash): uniform by construction, so no skew salting
+  needed; candidate pairs ~ O(similar pairs), not O(n^2).
+* :func:`ngram_jaccard_pairs` — exact Jaccard via shingle inverted
+  index (explode + equi-join + count). Quadratic in the worst case;
+  meant for verification / small slices, the LSH path is the scale one.
+* :func:`simhash` — 64-bit sign-majority over seeded token hashes,
+  computed relationally (explode over bit positions) so the same
+  formula runs in DuckDB for the oracle; near-dup = small Hamming
+  distance between signatures.
+* :func:`embedding_neardup_pairs` — cosine over an LSH-style bucket
+  (see operators/ann.py) or brute-force for verification.
+
+All hashing is md5-based (not xxhash) purely so the DuckDB oracle can
+reproduce values bit-for-bit; swap HASH_FN for xxhash64 in production
+for ~3x hash throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving doc_id per distinct normalized text.
+
+    Returns (fingerprint, keep_id, n_dups). Map-side partial agg makes
+    this one shuffle of (digest, id) pairs — scales linearly.
+    """
+    return (
+        documents.select(
+            TX.doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n_hashes: int = 12,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    sig = TX.minhash_signature(F.col(text_col), n_hashes, shingle_n)
+    return documents.select(F.col(id_col), *sig)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    rows_per_band = n_hashes / bands; band hash = md5 of the
+    concatenated signature slice. Docs with no shingles (shorter than
+    the shingle width) produce no bands.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signatures(documents, n_hashes, shingle_n, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * r + i}") for i in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    # docs with zero shingles have NULL mins -> concat_ws('') of nulls is
+    # '' which would bucket all empties together; drop them first
+    non_empty = sigs.filter(F.col("mh0").isNotNull())
+    banded = non_empty.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity via a shingle inverted index.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingles.
+    Emits (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
+    """
+    sh = documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TX.word_shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_bits(
+    documents: DataFrame,
+    n_bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash as an ``n_bits``-char '0'/'1' string per document.
+
+    Relational formulation (identical in DuckDB): token -> md5 hex; bit
+    p of the hash = (hex_digit(p/4) >> (p%4)) & 1 where hex_digit is
+    decoded with instr('0123456789abcdef', ch)-1 — integer math only.
+    Majority over tokens (with multiplicity) sets the output bit; ties
+    (sum==0 contributions) resolve to 0 via the > 0 test.
+    """
+    toks = documents.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    pos = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("p"),
+    )
+    digit = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.col("h"), (F.col("p") / 4).cast("int") + 1, 1),
+        )
+        - 1
+    )
+    bit = F.floor(digit / F.pow(F.lit(2.0), (F.col("p") % 4).cast("double"))).cast("int") % 2
+    contrib = F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+    bitsum = pos.select(id_col, "p", contrib.alias("c")).groupBy(id_col, "p").agg(
+        F.sum("c").alias("s")
+    )
+    perbit = bitsum.withColumn("b", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    return perbit.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("p"), F.col("b")))),
+                lambda x: x["b"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    prefix_blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash.
+
+    Scale path: block the signature into ``prefix_blocks`` slices — two
+    signatures within ``max_hamming`` (< prefix_blocks) must agree on at
+    least one full block (pigeonhole), so the self-join runs per
+    (block_idx, block_value) bucket, not all-pairs.
+    """
+    sig = simhash_bits(documents, n_bits, text_col, id_col)
+    w = n_bits // prefix_blocks
+    blocks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.substring(F.col("simhash"), i * w + 1, w).alias("bv"),
+                    )
+                    for i in range(prefix_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    # hamming over the bit strings: count differing chars via zip of
+    # split-to-char arrays
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sa"), ""),
+                F.split(F.col("sb"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

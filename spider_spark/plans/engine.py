@@ -1,0 +1,240 @@
+"""The crawl engine: a wave-structured BSP loop over DataFrames.
+
+Each wave is one batch round-trip of the reference's reactor loop
+(SURVEY.md §3): admit -> schedule (politeness) -> fetch -> parse ->
+normalize -> commit. The frontier is a table, not an in-memory queue;
+one wave == one snapshot == one checkpoint, so a killed run resumes
+from the last committed wave with no duplicate admissions (the
+seen-set is committed atomically with the documents it admitted).
+
+Retry semantics: failed statuses from the reference's RETRY_HTTP_CODES
+requeue with ``attempt+1`` up to RETRY_TIMES (``settings.py:98-99``).
+Scrapy's RetryMiddleware re-submits with ``dont_filter=True`` (the
+fingerprint is already in the seen set), and so do we.
+
+Pagination termination is emergent exactly as in the reference
+(``aands_org_uk.py:37-49``): a wave that admits no new rows and has no
+pending work ends the crawl.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.urls import with_url_identity
+from ..operators import dedup as D
+from ..operators import politeness as P
+from ..operators import spans as S
+from ..sources.fetch import canonical_web, fetch_synthetic
+from ..storage.catalog import SnapshotStore
+
+
+@dataclass
+class CrawlConfig:
+    crawl_id: str = "crawl-0"
+    n_buckets: int = 64
+    wave_seconds: float = 1.0
+    n_salts: int = 8
+    max_waves: int = 64
+    obey_robots: bool = False  # reference: ROBOTSTXT_OBEY=False (settings.py:21)
+    retry_times: int = schemas.RETRY_TIMES
+    use_bloom: bool = False  # exact anti-join by default; Bloom is opt-in
+    bloom_capacity: int = 1 << 20
+    bloom_fpr: float = 1e-6
+
+
+class CrawlEngine:
+    """Synthetic-web crawl engine (fetch = join against ``web_pages``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        web_pages: DataFrame,
+        host_policy: DataFrame,
+        store: SnapshotStore,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.web = canonical_web(web_pages).persist()
+        self.policy = host_policy
+        self.store = store
+        self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
+
+    # -- admission ----------------------------------------------------------
+    def _admit(self, candidates: DataFrame, wave: int) -> DataFrame:
+        """identity -> intra-batch dedup -> seen-set dedup -> record."""
+        cand = with_url_identity(candidates, self.cfg.n_buckets)
+        cand = D.dedup_intra_batch(cand)
+        if self.cfg.use_bloom:
+            filters = self.store.read_table(
+                "url_seen_filters", "latest", schema=schemas.URL_SEEN_FILTERS
+            )
+            admitted = D.dedup_bloom(cand, filters, self.bloom_spec)
+            admitted = admitted.persist()
+            new_filters = D.updated_filters(admitted, filters, self.bloom_spec, wave)
+            self.store.write_wave("url_seen_filters", wave, new_filters)
+        else:
+            seen = self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)
+            admitted = D.dedup_exact(cand, seen).persist()
+        recorded = admitted.filter(~F.col("dont_filter")).select(
+            "crawl_id",
+            "fingerprint",
+            "host_bucket",
+            F.lit(wave).alias("wave"),
+        )
+        self.store.write_wave("url_seen", wave, recorded)
+        return admitted
+
+    # -- one wave -------------------------------------------------------------
+    def run(self, seeds: DataFrame, resume: bool = False) -> dict:
+        """Run the crawl to fixpoint; returns summary counters.
+
+        ``resume=True`` continues from the last committed wave in the
+        store (seeds are ignored if a checkpoint exists).
+        """
+        cfg = self.cfg
+        manifest = self.store.read_manifest() if resume else None
+        if manifest and manifest["committed_waves"]:
+            wave = max(manifest["committed_waves"]) + 1
+            next_base = int(manifest["extra"]["next_seq_base"])
+            pending = self.store.read_table("frontier", "latest", schema=schemas.FRONTIER)
+        else:
+            wave = 0
+            # seed rows: deterministic order by (source, url) — documented
+            # analog of start_urls list order (readme.md:33-55)
+            cand = seeds.select(
+                F.lit(cfg.crawl_id).alias("crawl_id"),
+                "url",
+                F.lit("GET").alias("method"),
+                F.lit(None).cast("string").alias("body"),
+                "source",
+                "meta",
+                "priority",
+                F.lit(0).alias("attempt"),
+                F.lit(False).alias("dont_filter"),
+                F.lit(0).cast("long").alias("parent_seq"),
+                F.lit(0).alias("link_pos"),
+            )
+            cand = S.assign_seq(cand, [F.asc("source"), F.asc("url")], 0).drop("link_pos")
+            cand = cand.withColumn("wave", F.lit(0))
+            pending = self._admit(cand, 0)
+            next_base = _max_seq(pending)
+            self.store.write_wave("frontier", 0, pending.drop("crawl_delay_s"))
+            self.store.commit_wave(0, {"next_seq_base": next_base})
+            pending = self.store.read_table("frontier", "latest")
+            wave = 1
+
+        totals = {"fetched": 0, "docs": 0, "waves": 0}
+        n_pending = pending.count()  # parquet count: metadata-only, cheap
+        while wave <= cfg.max_waves:
+            if n_pending == 0:
+                break
+            t0 = time.monotonic()
+            dispatch, deferred = P.schedule_wave(
+                pending,
+                self.policy,
+                wave_seconds=cfg.wave_seconds,
+                n_salts=cfg.n_salts,
+                obey_robots=cfg.obey_robots,
+            )
+            dispatch = dispatch.withColumn("wave", F.lit(wave))
+            fetched = fetch_synthetic(dispatch, self.web).persist()
+
+            ok = fetched.filter(F.col("status") == 200)
+            retry = (
+                fetched.filter(
+                    F.col("status").isin(schemas.RETRY_HTTP_CODES)
+                    & (F.col("attempt") < cfg.retry_times)
+                )
+                .select(*schemas_frontier_cols(fetched))
+                .withColumn("attempt", F.col("attempt") + 1)
+                .withColumn("dont_filter", F.lit(True))  # RetryMiddleware semantics
+            )
+
+            docs = S.extract_documents(ok)
+            new_links = S.extract_links(ok)
+            new_links = S.assign_seq(
+                new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
+            ).drop("link_pos")
+            new_links = new_links.withColumn("wave", F.lit(wave))
+            admitted = self._admit(new_links, wave)
+
+            self.store.write_wave("documents", wave, docs)
+            next_pending = deferred.unionByName(
+                admitted.select(*deferred.columns)
+            ).unionByName(retry.select(*deferred.columns))
+            self.store.write_wave("frontier", wave, next_pending)
+
+            astats = admitted.agg(
+                F.count("*").alias("n"), F.max("discovered_seq").alias("m")
+            ).collect()[0]
+            n_admitted = astats["n"]
+            next_base = max(next_base, int(astats["m"] or 0)) + 1
+            fstats = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (
+                        (F.col("status") == 200)
+                        & ~F.col("is_listing_page")
+                        & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
+                    ).cast("long")
+                ).alias("docs"),
+            ).collect()[0]
+            n_fetched = fstats["n"]
+            n_docs = int(fstats["docs"] or 0)
+            metrics = (
+                fetched.groupBy("crawl_id", "host_bucket")
+                .agg(
+                    F.count("*").alias("fetched"),
+                    F.sum((F.col("status") != 200).cast("long")).alias("retried"),
+                )
+                .withColumn("wave", F.lit(wave))
+                .withColumn("candidates", F.lit(n_admitted).cast("long"))
+                .withColumn("deduped_dropped", F.lit(0).cast("long"))
+                .withColumn("robots_dropped", F.lit(0).cast("long"))
+                .withColumn("scheduled", F.col("fetched"))
+                .withColumn("docs_emitted", F.lit(n_docs).cast("long"))
+                .withColumn(
+                    "wall_ms", F.lit(int((time.monotonic() - t0) * 1000)).cast("long")
+                )
+                .select([f.name for f in schemas.METRICS.fields])
+            )
+            self.store.write_wave("metrics", wave, metrics)
+            self.store.commit_wave(wave, {"next_seq_base": next_base})
+
+            totals["fetched"] += n_fetched
+            totals["docs"] += n_docs
+            totals["waves"] += 1
+            fetched.unpersist()
+            admitted.unpersist()
+            # re-read pending from the committed snapshot: truncates lineage
+            # (the iterative-loop analog of checkpointing)
+            pending = self.store.read_table("frontier", "latest")
+            n_pending = pending.count()
+            wave += 1
+        return totals
+
+    # -- outputs ------------------------------------------------------------
+    def documents(self) -> DataFrame:
+        return self.store.read_table("documents", "append", schema=schemas.DOCUMENTS_FULL)
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)
+
+    def metrics(self) -> DataFrame:
+        return self.store.read_table("metrics", "append", schema=schemas.METRICS)
+
+
+def schemas_frontier_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in schemas.FRONTIER.fields if f.name in df.columns]
+
+
+def _max_seq(df: DataFrame) -> int:
+    row = df.agg(F.max("discovered_seq").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else 0

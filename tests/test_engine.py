@@ -1,0 +1,152 @@
+"""End-to-end crawl engine vs the pure-Python golden model.
+
+The BASELINE.json correctness gate: crawl ordering + final URL-seen set
+must equal the golden model's under the same seed list and politeness
+budget, with per-row span-sequence equality (kind, text, media_ref,
+order).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_spark.plans.engine import CrawlConfig, CrawlEngine
+from spider_spark.storage.catalog import SnapshotStore
+from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
+from tests.golden_model import GoldenCrawl
+
+SPEC = WebSpec(seed=42, n_hosts=5, pages_per_host=3, details_per_page=4, hot_host_factor=4)
+
+
+def run_engine(spark, tmp_path, spec=SPEC, **cfg_kw):
+    cfg = CrawlConfig(crawl_id="t", n_buckets=8, wave_seconds=1.0, max_waves=40, **cfg_kw)
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    eng = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg)
+    totals = eng.run(seeds_df(spark, spec))
+    return eng, totals, store
+
+
+def golden(spec=SPEC, **kw):
+    g = GoldenCrawl(spec, wave_seconds=1.0, max_waves=40, **kw)
+    g.run()
+    return g
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("engine")
+    captured = []
+    import spider_spark.plans.engine as E
+
+    orig = E.fetch_synthetic
+
+    def capturing_fetch(dispatch, web):
+        out = orig(dispatch, web)
+        captured.append(
+            [
+                (r["wave"], r["host"], r["dispatch_rank"], r["canonical_url"])
+                for r in out.select("wave", "host", "dispatch_rank", "canonical_url").collect()
+            ]
+        )
+        return out
+
+    E.fetch_synthetic = capturing_fetch
+    try:
+        eng, totals, store = run_engine(spark, tmp)
+    finally:
+        E.fetch_synthetic = orig
+    log = sorted(x for wave in captured for x in wave)
+    return eng, totals, store, log
+
+
+def test_final_seen_set_matches_golden(engine_run):
+    eng, totals, store, _log = engine_run
+    g = golden()
+    engine_seen = {r["fingerprint"] for r in eng.url_seen().collect()}
+    assert engine_seen == g.seen
+
+
+def test_crawl_ordering_matches_golden(engine_run):
+    _eng, _totals, _store, log = engine_run
+    g = golden()
+    assert log == sorted(g.dispatch_log)
+
+
+def test_span_sequences_match_golden(engine_run):
+    eng, _totals, _store, _log = engine_run
+    g = golden()
+    rows = eng.documents().select("doc_id", "spans").collect()
+    engine_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+    golden_docs = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for d, spans in g.documents.items()
+    }
+    assert engine_docs == golden_docs
+    assert len(engine_docs) > 10
+
+
+def test_no_document_duplicates(engine_run):
+    eng, _totals, _store, _log = engine_run
+    docs = eng.documents()
+    assert docs.count() == docs.select("doc_id").distinct().count()
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    """Kill after wave k, resume, final state identical to a full run."""
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=3)
+    # full run
+    _eng_full, _t, store_full = run_engine(spark, tmp_path / "full", spec)
+
+    # interrupted run: cap waves at 2, then resume with a fresh engine
+    cfg_short = CrawlConfig(crawl_id="t", n_buckets=8, wave_seconds=1.0, max_waves=2)
+    store = SnapshotStore(spark, str(tmp_path / "resume" / "store"))
+    eng1 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg_short)
+    eng1.run(seeds_df(spark, spec))
+
+    cfg_full = CrawlConfig(crawl_id="t", n_buckets=8, wave_seconds=1.0, max_waves=40)
+    eng2 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg_full)
+    eng2.run(seeds_df(spark, spec), resume=True)
+
+    full_docs = {
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in SnapshotStore(spark, str(tmp_path / "full" / "store"))
+        .read_table("documents", "append")
+        .select("doc_id", "spans")
+        .collect()
+    }
+    resumed_docs = {
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in store.read_table("documents", "append").select("doc_id", "spans").collect()
+    }
+    assert full_docs == resumed_docs
+
+    full_seen = {
+        r["fingerprint"] for r in store_full.read_table("url_seen", "append").collect()
+    }
+    res_seen = {r["fingerprint"] for r in store.read_table("url_seen", "append").collect()}
+    assert full_seen == res_seen
+
+
+def test_bloom_path_equals_exact_path(spark, tmp_path):
+    spec = WebSpec(seed=11, n_hosts=4, pages_per_host=2, details_per_page=3)
+    _e1, _t1, s_exact = run_engine(spark, tmp_path / "exact", spec, use_bloom=False)
+    _e2, _t2, s_bloom = run_engine(spark, tmp_path / "bloom", spec, use_bloom=True)
+    seen_exact = {r["fingerprint"] for r in s_exact.read_table("url_seen", "append").collect()}
+    seen_bloom = {r["fingerprint"] for r in s_bloom.read_table("url_seen", "append").collect()}
+    assert seen_exact == seen_bloom
+    d1 = {r["doc_id"] for r in s_exact.read_table("documents", "append").collect()}
+    d2 = {r["doc_id"] for r in s_bloom.read_table("documents", "append").collect()}
+    assert d1 == d2
+
+
+def test_metrics_lineage_recorded(engine_run):
+    eng, totals, _store, _log = engine_run
+    m = eng.metrics()
+    assert m.count() > 0
+    fetched_sum = m.agg(F.sum("fetched")).collect()[0][0]
+    assert fetched_sum == totals["fetched"]
+    assert m.filter(F.col("host_bucket").isNull()).count() == 0
