@@ -1,38 +1,1087 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the real ``spider_spark`` code path, over inputs derived
+*deterministically* from the driver's parquet tables so the DuckDB
+``oracle_sql()`` twin can rebuild byte-identical inputs with plain SQL.
+
+Input derivations (shared by both engines):
+
+* **frontier** — from ``events``: ``host_id = user_id % 40``,
+  ``page_id = event_id % 3000`` (forces duplicates), messy URL
+  ``http://H{h}.EXAMPLE:80/p/{p}?b=2&a=1#s`` whose canonical form is
+  ``http://h{h}.example/p/{p}?a=1&b=2``; ``seq = event_id``;
+  ``priority = event_id % 3``; ``attempt = event_id % 5``;
+  ``status`` cycles 503/500/404/200 on ``event_id % 11``;
+  ``dont_filter = (event_id % 13 == 0)``.
+* **corpus** — ``documents`` / ``embeddings`` as-is.
+
+Oracle-facing fingerprints use md5 (DuckDB 1.0 has no sha1); the
+engine's internal RFPDupeFilter analog stays sha1
+(``spider_spark/functions/urls.py``) and is covered by pytest.
+
+Float columns are rounded to 4 decimals on BOTH sides before output,
+and rank/threshold decisions use the rounded value so cross-engine
+ULP noise cannot flip a comparison.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spider_spark.functions import normalize as N
+from spider_spark.functions import text as TX
+from spider_spark.functions.urls import canonicalize_udf
+from spider_spark.operators import ann as ANN
+from spider_spark.operators import dedup as D
+from spider_spark.operators import politeness as P
+from spider_spark.operators import textdedup as TD
+
+RETRY_CODES = [500, 503, 504, 400, 401, 403, 404, 405, 407, 408, 416, 456, 502, 429]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared derived inputs
+# ---------------------------------------------------------------------------
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic raw frontier derived from ``events`` (see module doc)."""
+    ev = _t(spark, sf_dir, "events")
+    host_id = (F.col("user_id") % 40).cast("long")
+    page_id = (F.col("event_id") % 3000).cast("long")
+    mod11 = F.col("event_id") % 11
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(
+            F.lit("http://H"), host_id, F.lit(".EXAMPLE:80/p/"), page_id, F.lit("?b=2&a=1#s")
+        ).alias("url"),
+        F.concat(
+            F.lit("http://h"), host_id, F.lit(".example/p/"), page_id, F.lit("?a=1&b=2")
+        ).alias("canonical_url"),
+        F.concat(F.lit("h"), host_id, F.lit(".example")).alias("host"),
+        host_id.alias("host_id"),
+        (F.col("event_id") % 3).cast("int").alias("priority"),
+        (F.col("event_id") % 5).cast("int").alias("attempt"),
+        F.when(mod11 == 0, 503)
+        .when(mod11 == 1, 500)
+        .when(mod11 == 2, 404)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+        (F.col("event_id") % 13 == 0).alias("dont_filter"),
+    ).withColumn("fingerprint", F.md5(F.concat(F.lit("GET|"), F.col("canonical_url"))))
+
+
+_FRONTIER_SQL = """
+    SELECT event_id AS seq,
+           'http://h' || (user_id % 40) || '.example/p/' || (event_id % 3000)
+               || '?a=1&b=2' AS canonical_url,
+           'h' || (user_id % 40) || '.example' AS host,
+           (user_id % 40) AS host_id,
+           CAST(event_id % 3 AS INT) AS priority,
+           CAST(event_id % 5 AS INT) AS attempt,
+           CAST(CASE event_id % 11 WHEN 0 THEN 503 WHEN 1 THEN 500
+                WHEN 2 THEN 404 ELSE 200 END AS INT) AS status,
+           (event_id % 13 = 0) AS dont_filter,
+           md5('GET|' || 'http://h' || (user_id % 40) || '.example/p/'
+               || (event_id % 3000) || '?a=1&b=2') AS fingerprint
+    FROM events
+"""
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+# ---------------------------------------------------------------------------
+# crawl-operator queries (SURVEY.md §2.1–2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonicalize_udf on the messy URL must equal the independently
+    constructed canonical form (lowercase scheme/host, default-port strip,
+    fragment strip, query-param sort) — SURVEY.md §2.2."""
+    fr = _frontier(spark, sf_dir)
+    return fr.select(
+        F.col("seq"), canonicalize_udf(F.col("url")).alias("canonical_url")
+    )
+
+
+def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_intra_batch: keep-first per fingerprint, dont_filter exempt."""
+    fr = _frontier(spark, sf_dir).withColumn("discovered_seq", F.col("seq"))
+    out = D.dedup_intra_batch(fr)
+    return out.select("fingerprint", "seq", "dont_filter")
+
+
+def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schedule_wave: per-host budget = min(16, floor(1s/delay)), rank by
+    (priority DESC, seq ASC); salted two-phase window (SURVEY.md §2.2)."""
+    fr = _frontier(spark, sf_dir).withColumn("discovered_seq", F.col("seq"))
+    fr = D.dedup_intra_batch(fr).withColumn("crawl_id", F.lit("q"))
+    hosts = fr.select("host", "host_id").distinct()
+    # 0.125 is exact in binary, so floor(1.0/delay) is engine-independent
+    policy = hosts.select(
+        "host",
+        F.when(F.col("host_id") % 3 == 2, 1.0).otherwise(0.125).alias("crawl_delay_s"),
+        F.lit(16).alias("max_concurrency"),
+        F.array().cast("array<string>").alias("robots_disallow"),
+    )
+    dispatch, _deferred = P.schedule_wave(fr, policy, wave_seconds=1.0, n_salts=4)
+    return dispatch.select("host", "seq", "priority", "dispatch_rank")
+
+
+def q_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry re-queue: status in RETRY_HTTP_CODES and attempt < 3 →
+    attempt+1 with dont_filter=true (settings.py:98-99 semantics)."""
+    fr = _frontier(spark, sf_dir)
+    return (
+        fr.filter(F.col("status").isin(RETRY_CODES) & (F.col("attempt") < 3))
+        .select(
+            "seq",
+            "status",
+            (F.col("attempt") + 1).alias("attempt_next"),
+            F.lit(True).alias("dont_filter"),
+        )
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots prefix filter (engine feature, default-off to match the
+    reference's ROBOTSTXT_OBEY=False): hosts with host_id%4==3 disallow
+    /private; rows with seq%5==0 live under /private."""
+    fr = _frontier(spark, sf_dir)
+    fr = fr.withColumn(
+        "canonical_url",
+        F.when(
+            F.col("seq") % 5 == 0,
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/private/"), F.col("seq")),
+        ).otherwise(F.col("canonical_url")),
+    )
+    hosts = fr.select("host", "host_id").distinct()
+    policy = hosts.select(
+        "host",
+        F.lit(0.1).alias("crawl_delay_s"),
+        F.lit(16).alias("max_concurrency"),
+        F.when(F.col("host_id") % 4 == 3, F.array(F.lit("/private")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("robots_disallow"),
+    )
+    out = P.robots_filter(fr, policy, obey=True)
+    return out.select("seq", "host", "canonical_url")
+
+
+def q_span_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span assembly: media spans deduped keeping FIRST occurrence, text
+    spans untouched (reference dedups images via set() at
+    pipelines.py:127-131; keep-first is the documented deterministic
+    choice). Spans derived from documents: one span per token position,
+    every 3rd position is media with ref id ``token_pos % 5`` (forces
+    repeats)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("offset", "tok")
+    )
+    spans = toks.select(
+        "doc_id",
+        "offset",
+        F.when(F.col("offset") % 3 == 0, F.lit("media")).otherwise(F.lit("text")).alias(
+            "kind"
+        ),
+        F.when(F.col("offset") % 3 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("tok")
+        ).alias("text"),
+        F.when(
+            F.col("offset") % 3 == 0,
+            F.concat(F.lit("img/"), (F.col("offset") % 5).cast("string")),
+        ).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+    )
+    arr = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+        ).alias("raw")
+    )
+    spans_struct = F.transform(
+        F.col("raw"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].cast("int").alias("offset"),
+        ),
+    )
+    import spider_spark.operators.spans as SP
+
+    deduped = arr.select(
+        "doc_id", SP.dedup_media_spans(spans_struct).alias("spans")
+    )
+    return deduped.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalize-stage scalar functions (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_number_only with '.' thousands / ',' scale separators over
+    'about <k>.<lpad3> m2' strings (helper.py:88-102 semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(
+        F.lit("about "),
+        (F.col("l_orderkey") % 90 + 1).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+        F.lit(",5 m2"),
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        N.extract_number_only(s, ".", ",").try_cast("double").alias("num"),
+    ).distinct()
+
+
+def q_get_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_price: min of both separator readings, max if min<10
+    (helper.py:47-61)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(
+        (F.col("l_orderkey") % 9).cast("string"),
+        F.lit("."),
+        F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        N.get_price(s).cast("long").alias("price"),
+    ).distinct()
+
+
+def q_currency_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """currency_parser symbol→ISO with the AUD-iff-australia rule
+    (helper.py:140-169)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 7
+    rent = (
+        F.when(m == 0, F.lit("€120"))
+        .when(m == 1, F.lit("£45"))
+        .when(m == 2, F.lit("$30"))
+        .when(m == 3, F.lit("TL99"))
+        .when(m == 4, F.lit("CHF 5"))
+        .when(m == 5, F.lit("QAR 7"))
+        .otherwise(F.lit("idk"))
+    )
+    src = F.when(F.col("user_id") % 2 == 0, F.lit("rent_australia_com")).otherwise(
+        F.lit("rent_us_com")
+    )
+    return ev.select(
+        F.col("event_id").alias("eid"), N.currency_parser(rent, src).alias("currency")
+    )
+
+
+def q_energy_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """energy_label_extractor kWh bands (helper.py:185-201)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        N.energy_label_extractor((F.col("l_orderkey") % 120).cast("double")).alias("label"),
+    ).distinct()
+
+
+def q_format_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_date 'd/M/yyyy' → ISO, passthrough on failure
+    (helper.py:172-183)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ds = F.date_format(F.col("l_shipdate"), "d/M/yyyy")
+    bad = F.when(F.col("l_linenumber") % 4 == 0, F.lit("soon")).otherwise(ds)
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        N.format_date(bad).alias("avail"),
+    ).distinct()
+
+
+def q_sq_feet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sq_feet_to_meters int(feet/10.764) + weekly→monthly rent*4
+    (helper.py:36-44,649-651)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        N.sq_feet_to_meters((F.col("l_orderkey") % 5000).cast("double")).alias("sqm"),
+        N.weekly_to_monthly_rent(F.col("l_orderkey") % 700).cast("long").alias("rent_pm"),
+    ).distinct()
+
+
+def q_rent_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rent_sanity_filter keep 0<rent<=40000 (intended semantics of
+    templates/spiders/basic.tmpl:46-47 — documented divergence)."""
+    ev = _t(spark, sf_dir, "events")
+    rent = (F.col("event_id") * 7919) % 60000
+    return ev.select(F.col("event_id").alias("eid"), rent.alias("rent")).filter(
+        N.rent_sanity_filter(rent)
+    )
+
+
+def q_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """amenity keyword flags (helper.py:390-434): True when keyword
+    occurs else NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    extra = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" has Parking garage ")).otherwise(F.lit(" ")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" grosser Balkon ")).otherwise(F.lit(" ")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" swimming pool & lift ")).otherwise(F.lit(" ")),
+        F.col("text"),
+    )
+    flags = N.amenity_flags(extra)
+    return docs.select(
+        "doc_id",
+        flags["parking"].alias("parking"),
+        flags["balcony"].alias("balcony"),
+        flags["swimming_pool"].alias("swimming_pool"),
+        flags["elevator"].alias("elevator"),
+        flags["terrace"].alias("terrace"),
+    )
+
+
+def q_property_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """property_type_lookup multilingual label → canonical type
+    (helper.py:273-304)."""
+    ev = _t(spark, sf_dir, "events")
+    labels = ["Wohnung", "maison", "  studio ", "kamer", "Villa", "daire", "loft", "EV"]
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), (F.col("event_id") % 8 + 1).cast("int")
+    )
+    return ev.select(
+        F.col("event_id").alias("eid"),
+        lab.alias("label"),
+        N.property_type_lookup(lab).alias("ptype"),
+    )
+
+
+def q_description_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_tags + remove_white_spaces over HTML-wrapped text
+    (helper.py:25-34,73-78)."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<div class='x'><b>"), F.col("text"), F.lit("</b>  <br/> tail</div>")
+    )
+    return docs.select(
+        "doc_id", N.remove_white_spaces(N.strip_tags(html)).alias("clean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# loader/aggregation shapes (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_take_first_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeFirst + Join(' ') loader processors per source group
+    (loaders.py:14-47): first text by doc_id order; space-joined texts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.min_by("text", "doc_id").alias("first_text"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "lang"))),
+                lambda s: s["lang"],
+            ),
+            " ",
+        ).alias("joined_langs"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_position_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """position counter per source run (der_immo_tip.py:23,137,187)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("position")
+    )
+
+
+def q_image_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image dedup + external_images_count (pipelines.py:127-131): refs
+    with repeats (doc_id, i%4 for i<n) → distinct count."""
+    docs = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 7 + 1).cast("int")
+    refs = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat(F.lit("img/"), (i % 4).cast("string")),
+    )
+    return docs.select(
+        "doc_id", F.size(F.array_distinct(refs)).alias("external_images_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / corpus dedup (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        TX.punct_count(F.col("text")).alias("n_punct"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TD.exact_dedup(docs)
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TD.minhash_signatures(docs, n_hashes=4, shingle_n=3)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TD.ngram_jaccard_pairs(docs, threshold=0.2, shingle_n=3)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return TD.simhash_bits(docs, n_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline). Rank on
+    the ROUNDED cosine so cross-engine float noise cannot flip ranks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+                )
+            ),
+            F.col("neighbor_id") != F.col("query_id"),
+        )
+        .withColumn("cos", F.round(ANN.cosine(F.col("qvec"), F.col("cvec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with rounded cosine >= 0.35 (embedding near-dup; the
+    synthetic embeddings top out near 0.51 pairwise cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(ANN.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregate per event_type (the batch twin of the
+    Structured Streaming path in spider_spark/streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): session id = count
+    of gap-starts up to the row; per-session event count + span."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ in Spark 4: go via timestamp (session UTC)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship / non-SQL extras
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl engine on the deterministic synthetic web (3 hosts, 2
+    waves of listings): documents exploded to span rows. Non-SQL (the
+    iterative wave loop has no single-query SQL equivalent) — the
+    pytest golden model is its oracle."""
+    import tempfile
+
+    from spider_spark.plans.engine import CrawlConfig, CrawlEngine
+    from spider_spark.storage.catalog import SnapshotStore
+    from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
+
+    spec = WebSpec(seed=42, n_hosts=3, pages_per_host=1, details_per_page=3)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="entry_crawl_"))
+    eng = CrawlEngine(
+        spark,
+        web_df(spark, spec),
+        host_policy_df(spark, spec),
+        store,
+        CrawlConfig(crawl_id="entry", n_buckets=8, max_waves=30),
+    )
+    eng.run(seeds_df(spark, spec))
+    docs = eng.documents()
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus curation over sf0.001 — text stats, lang id,
+    quality, exact-dup keep flag — the gate a pretraining pipeline runs
+    on every crawled document."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    survivors = TD.exact_dedup(docs).select(
+        "fingerprint", F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    return stats.join(survivors, ["fingerprint", "doc_id"], "inner").select(
+        "doc_id", "source", "n_tokens", "lang_pred", "quality", "n_dups"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_canonicalize": q_url_canonicalize,
+        "frontier_dedup": q_frontier_dedup,
+        "politeness_topk": q_politeness_topk,
+        "retry_policy": q_retry_policy,
+        "robots_filter": q_robots_filter,
+        "span_media_dedup": q_span_media_dedup,
+        "extract_number": q_extract_number,
+        "get_price": q_get_price,
+        "currency_parser": q_currency_parser,
+        "energy_label": q_energy_label,
+        "format_date": q_format_date,
+        "sq_feet": q_sq_feet,
+        "rent_sanity": q_rent_sanity,
+        "amenities": q_amenities,
+        "property_type": q_property_type,
+        "description_clean": q_description_clean,
+        "take_first_join": q_take_first_join,
+        "position_counter": q_position_counter,
+        "image_dedup_count": q_image_dedup_count,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "crawl_end_to_end": q_crawl_end_to_end,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = {
+    "en": "['the','and','of','to','in','is','with','for','on','this','that','are']",
+    "de": "['der','die','das','und','mit','für','von','ist','im','ein','eine','zu']",
+    "fr": "['le','la','les','et','de','des','un','une','est','dans','pour','au']",
+    "it": "['il','la','di','e','un','una','per','con','del','che','in','è']",
+    "nl": "['de','het','een','en','van','met','voor','op','is','aan','bij','te']",
+}
+
+
+def _hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_TOKENS_SQL}, t -> list_contains({_STOPWORDS_SQL[lang]}, t)))"
+    )
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(toks) - {nm1}, 0) + 1),"
+    " i -> array_to_string(toks[i:i+{nm1}], ' '))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingles3 = _SHINGLES_SQL.format(nm1=2)
+    shingles5 = _SHINGLES_SQL.format(nm1=4)
+    mh = lambda j: f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"  # noqa: E731
+    band = lambda b, r: (  # noqa: E731
+        "md5(" + " || '|' || ".join(f"mh{b * r + i}" for i in range(r)) + ")"
+    )
+    return {
+        "url_canonicalize": f"""
+            SELECT seq, canonical_url FROM ({_FRONTIER_SQL})
+        """,
+        "frontier_dedup": f"""
+            WITH fr AS ({_FRONTIER_SQL}),
+            ranked AS (
+                SELECT fingerprint, seq, dont_filter,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY seq, canonical_url) AS rn
+                FROM fr WHERE NOT dont_filter)
+            SELECT fingerprint, seq, dont_filter FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT fingerprint, seq, dont_filter FROM fr WHERE dont_filter
+        """,
+        "politeness_topk": f"""
+            WITH fr AS ({_FRONTIER_SQL}),
+            ranked AS (
+                SELECT fingerprint, seq, dont_filter, host, host_id, priority,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY seq, canonical_url) AS rn
+                FROM fr WHERE NOT dont_filter),
+            dedup AS (
+                SELECT * FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT fingerprint, seq, dont_filter, host, host_id, priority,
+                       1 AS rn FROM fr WHERE dont_filter),
+            budgeted AS (
+                SELECT host, seq, priority,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, seq ASC)
+                           AS dispatch_rank,
+                       least(16, CAST(floor(CAST(1.0 AS DOUBLE) /
+                           (CASE WHEN host_id % 3 = 2 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.125 AS DOUBLE) END)) AS INT)) AS budget
+                FROM dedup)
+            SELECT host, seq, priority, CAST(dispatch_rank AS INT) AS dispatch_rank
+            FROM budgeted WHERE dispatch_rank <= budget
+        """,
+        "retry_policy": f"""
+            SELECT seq, status, CAST(attempt + 1 AS INT) AS attempt_next,
+                   true AS dont_filter
+            FROM ({_FRONTIER_SQL})
+            WHERE status IN (500,503,504,400,401,403,404,405,407,408,416,456,502,429)
+              AND attempt < 3
+        """,
+        "robots_filter": f"""
+            WITH fr AS (
+                SELECT seq, host, host_id,
+                       CASE WHEN seq % 5 = 0
+                            THEN 'http://' || host || '/private/' || seq
+                            ELSE canonical_url END AS canonical_url
+                FROM ({_FRONTIER_SQL}))
+            SELECT seq, host, canonical_url FROM fr
+            WHERE NOT (host_id % 4 = 3 AND seq % 5 = 0)
+        """,
+        "span_media_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, u.tok, u.o - 1 AS "offset"
+                FROM (SELECT doc_id, {_TOKENS_SQL} AS tl FROM documents) d,
+                     LATERAL (SELECT unnest(tl) AS tok,
+                                     generate_subscripts(tl, 1) AS o) u),
+            spans AS (
+                SELECT doc_id, "offset",
+                       CASE WHEN "offset" % 3 = 0 THEN 'media' ELSE 'text' END AS kind,
+                       CASE WHEN "offset" % 3 = 0 THEN NULL ELSE tok END AS text,
+                       CASE WHEN "offset" % 3 = 0
+                            THEN 'img/' || ("offset" % 5) ELSE NULL END AS media_ref
+                FROM toks),
+            flagged AS (
+                SELECT *, CASE WHEN kind = 'media' THEN row_number() OVER (
+                           PARTITION BY doc_id, media_ref ORDER BY "offset")
+                       ELSE 1 END AS rn
+                FROM spans)
+            SELECT doc_id, kind, text, media_ref, CAST("offset" AS INT) AS "offset"
+            FROM flagged WHERE rn = 1
+        """,
+        "extract_number": """
+            SELECT DISTINCT l_orderkey AS okey, l_linenumber AS lnum,
+                   try_cast((l_orderkey % 90 + 1) || lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0')
+                            || '.5' AS DOUBLE) AS num
+            FROM lineitem
+        """,
+        "get_price": """
+            WITH t AS (
+                SELECT l_orderkey AS okey, l_linenumber AS lnum,
+                       (l_orderkey % 9) || '.' ||
+                       lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') AS s
+                FROM lineitem),
+            p AS (
+                SELECT okey, lnum,
+                       CAST(floor(try_cast(regexp_extract(replace(s, ',', '.'),
+                            '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)) AS BIGINT) AS a,
+                       CAST(floor(try_cast(regexp_extract(replace(s, '.', ''),
+                            '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)) AS BIGINT) AS b
+                FROM t)
+            SELECT DISTINCT okey, lnum,
+                   CASE WHEN least(a, b) < 10 THEN greatest(a, b)
+                        ELSE least(a, b) END AS price
+            FROM p
+        """,
+        "currency_parser": """
+            WITH t AS (
+                SELECT event_id AS eid,
+                       CASE event_id % 7 WHEN 0 THEN '€120' WHEN 1 THEN '£45'
+                            WHEN 2 THEN '$30' WHEN 3 THEN 'TL99' WHEN 4 THEN 'CHF 5'
+                            WHEN 5 THEN 'QAR 7' ELSE 'idk' END AS rent,
+                       CASE WHEN user_id % 2 = 0 THEN 'rent_australia_com'
+                            ELSE 'rent_us_com' END AS src
+                FROM events)
+            SELECT eid,
+                   CASE WHEN contains(rent, '€') THEN 'EUR'
+                        WHEN contains(rent, '£') THEN 'GBP'
+                        WHEN contains(rent, '$') AND contains(src, 'australia') THEN 'AUD'
+                        WHEN contains(rent, '$') THEN 'USD'
+                        WHEN contains(rent, 'TL') OR contains(rent, 'TRY')
+                             OR contains(rent, '₺') THEN 'TRY'
+                        WHEN contains(rent, 'CHF') THEN 'CHF'
+                        WHEN contains(rent, 'QAR') THEN 'QAR'
+                        WHEN contains(rent, 'EUR') THEN 'EUR'
+                        ELSE NULL END AS currency
+            FROM t
+        """,
+        "energy_label": """
+            SELECT DISTINCT l_orderkey AS okey, l_linenumber AS lnum,
+                   CASE WHEN l_orderkey % 120 >= 92 THEN 'A'
+                        WHEN l_orderkey % 120 >= 81 THEN 'B'
+                        WHEN l_orderkey % 120 >= 69 THEN 'C'
+                        WHEN l_orderkey % 120 >= 55 THEN 'D'
+                        WHEN l_orderkey % 120 >= 39 THEN 'E'
+                        WHEN l_orderkey % 120 >= 21 THEN 'F'
+                        WHEN l_orderkey % 120 >= 1 THEN 'G'
+                        ELSE NULL END AS label
+            FROM lineitem
+        """,
+        "format_date": """
+            WITH t AS (
+                SELECT l_orderkey AS okey, l_linenumber AS lnum,
+                       CASE WHEN l_linenumber % 4 = 0 THEN 'soon'
+                            ELSE strftime(l_shipdate, '%-d/%-m/%Y') END AS ds
+                FROM lineitem)
+            SELECT DISTINCT okey, lnum,
+                   coalesce(strftime(try_strptime(ds, '%-d/%-m/%Y'), '%Y-%m-%d'), ds)
+                       AS avail
+            FROM t
+        """,
+        "sq_feet": """
+            SELECT DISTINCT l_orderkey AS okey,
+                   CAST(floor(CAST(l_orderkey % 5000 AS BIGINT)
+                        / CAST(10.764 AS DOUBLE)) AS BIGINT) AS sqm,
+                   CAST((l_orderkey % 700) * 4 AS BIGINT) AS rent_pm
+            FROM lineitem
+        """,
+        "rent_sanity": """
+            SELECT event_id AS eid, (event_id * 7919) % 60000 AS rent
+            FROM events
+            WHERE (event_id * 7919) % 60000 > 0
+              AND (event_id * 7919) % 60000 <= 40000
+        """,
+        "amenities": """
+            WITH t AS (
+                SELECT doc_id, lower(
+                    (CASE WHEN doc_id % 2 = 0 THEN ' has Parking garage ' ELSE ' ' END) ||
+                    (CASE WHEN doc_id % 3 = 0 THEN ' grosser Balkon ' ELSE ' ' END) ||
+                    (CASE WHEN doc_id % 5 = 0 THEN ' swimming pool & lift ' ELSE ' ' END) ||
+                    text) AS low
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN contains(low,'parking') OR contains(low,'garage')
+                         OR contains(low,'parcheggio') OR contains(low,'stellplatz')
+                        THEN true ELSE NULL END AS parking,
+                   CASE WHEN contains(low,'balcon') OR contains(low,'balkon')
+                        THEN true ELSE NULL END AS balcony,
+                   CASE WHEN contains(low,'pool') OR contains(low,'piscine')
+                         OR contains(low,'schwimmbad') THEN true ELSE NULL END
+                       AS swimming_pool,
+                   CASE WHEN contains(low,'elevator') OR contains(low,'aufzug')
+                         OR contains(low,'ascenseur') OR contains(low,'lift')
+                         OR contains(low,'aufzüg') OR contains(low,'fahrstuhl')
+                        THEN true ELSE NULL END AS elevator,
+                   CASE WHEN contains(low,'terrace') OR contains(low,'terrazz')
+                         OR contains(low,'terras') OR contains(low,'terrass')
+                        THEN true ELSE NULL END AS terrace
+            FROM t
+        """,
+        "property_type": """
+            WITH t AS (
+                SELECT event_id AS eid,
+                       (['Wohnung','maison','  studio ','kamer','Villa','daire',
+                         'loft','EV'])[CAST(event_id % 8 AS INT) + 1] AS label
+                FROM events)
+            SELECT eid, label,
+                   CASE trim(regexp_replace(lower(label), '\\s+', ' ', 'g'))
+                        WHEN 'wohnung' THEN 'apartment' WHEN 'maison' THEN 'house'
+                        WHEN 'studio' THEN 'studio' WHEN 'kamer' THEN 'room'
+                        WHEN 'villa' THEN 'house' WHEN 'daire' THEN 'apartment'
+                        WHEN 'ev' THEN 'house' ELSE NULL END AS ptype
+            FROM t
+        """,
+        "description_clean": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        '<div class=''x''><b>' || text || '</b>  <br/> tail</div>',
+                        '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS clean
+            FROM documents
+        """,
+        "take_first_join": """
+            SELECT source,
+                   min_by(text, doc_id) AS first_text,
+                   string_agg(lang, ' ' ORDER BY doc_id) AS joined_langs,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "position_counter": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                        AS INT) AS position
+            FROM documents
+        """,
+        "image_dedup_count": """
+            SELECT doc_id,
+                   CAST(len(list_distinct(list_transform(
+                        range(0, CAST(doc_id % 7 + 1 AS INT)),
+                        i -> 'img/' || (i % 4)))) AS INT) AS external_images_count
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS INT) AS n_bpe,
+                   CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS INT)
+                       AS n_punct
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH h AS (
+                SELECT doc_id, {_hits('en')} AS en, {_hits('de')} AS de,
+                       {_hits('fr')} AS fr, {_hits('it')} AS it, {_hits('nl')} AS nl
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(en,de,fr,it,nl) <= 0 THEN 'und'
+                        WHEN en = greatest(en,de,fr,it,nl) THEN 'en'
+                        WHEN de = greatest(en,de,fr,it,nl) THEN 'de'
+                        WHEN fr = greatest(en,de,fr,it,nl) THEN 'fr'
+                        WHEN it = greatest(en,de,fr,it,nl) THEN 'it'
+                        ELSE 'nl' END AS lang_pred
+            FROM h
+        """,
+        "quality_score": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+                       CAST(length(text) AS DOUBLE) AS n_char,
+                       CAST({_hits('en')} AS DOUBLE) AS sw,
+                       CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
+                           AS p
+                FROM documents)
+            SELECT doc_id,
+                   round(0.4 * least(1.0, n_tok / 100.0)
+                       + 0.4 * least(1.0, 8.0 * (CASE WHEN n_tok > 0
+                             THEN sw / n_tok ELSE 0.0 END))
+                       + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_char > 0
+                             THEN p / n_char ELSE 0.0 END))), 4) AS quality
+            FROM s
+        """,
+        "exact_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "minhash_signature": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            s AS (SELECT doc_id, {shingles3} AS sh FROM t)
+            SELECT doc_id, {mh(0)} AS mh0, {mh(1)} AS mh1,
+                   {mh(2)} AS mh2, {mh(3)} AS mh3
+            FROM s
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            s AS (SELECT doc_id, {shingles5} AS sh FROM t WHERE len(toks) >= 5),
+            sigs AS (
+                SELECT doc_id, {mh(0)} AS mh0, {mh(1)} AS mh1, {mh(2)} AS mh2,
+                       {mh(3)} AS mh3, {mh(4)} AS mh4, {mh(5)} AS mh5,
+                       {mh(6)} AS mh6, {mh(7)} AS mh7
+                FROM s),
+            banded AS (
+                SELECT doc_id, b.band, b.bh FROM sigs,
+                LATERAL (
+                    SELECT unnest([0,1,2,3]) AS band,
+                           unnest([{band(0, 2)}, {band(1, 2)},
+                                   {band(2, 2)}, {band(3, 2)}]) AS bh) b)
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, s FROM t,
+                LATERAL (SELECT unnest({shingles3}) AS s) u),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+                FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(c / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(c / (sa.n_sh + sb.n_sh - c), 4) >= 0.2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, md5(u.tok) AS h
+                FROM (SELECT doc_id, {_TOKENS_SQL} AS tl FROM documents
+                      WHERE doc_id % 5 = 0) d,
+                     LATERAL (SELECT unnest(tl) AS tok) u),
+            pos AS (
+                SELECT doc_id, h, p FROM toks, LATERAL (
+                    SELECT unnest(range(0, 16)) AS p) g),
+            bits AS (
+                SELECT doc_id, p,
+                       CASE WHEN (CAST(floor((strpos('0123456789abcdef',
+                            substring(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+                            / power(2.0, CAST(p % 4 AS INT))) AS INT) % 2) = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM pos),
+            bitsum AS (
+                SELECT doc_id, p, sum(c) AS s FROM bits GROUP BY doc_id, p)
+            SELECT doc_id,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                              ORDER BY p) AS simhash
+            FROM bitsum GROUP BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id % 100 = 0),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 4)
+                           AS cos
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                              OR lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+                FROM g)
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM s GROUP BY user_id, session_no
+        """,
+    }
