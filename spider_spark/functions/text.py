@@ -102,13 +102,16 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as strings; empty array when fewer than n tokens.
+def word_shingles_from(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an ALREADY-MATERIALIZED token array column.
 
-    Built with sequence+transform+slice — pure JVM, no explode needed at
-    call sites that only need the array.
+    ``toks`` must be a plain column attribute, not an expression: the
+    transform lambda re-evaluates its argument subtree per element, so
+    passing ``tokens(text)`` directly recomputes the regex split per
+    shingle (O(tokens²) regex work per row — observed 60x slowdown in
+    the LSH bench). Callers materialize tokens with one ``select`` step
+    first; CollapseProject keeps non-cheap aliases unshared.
     """
-    toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -116,6 +119,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as strings; empty array when fewer than n tokens.
+
+    Convenience form for single-use sites; hot paths should materialize
+    tokens first and use :func:`word_shingles_from`.
+    """
+    return word_shingles_from(tokens(text), n)
 
 
 def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 3) -> list[Column]:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from urllib.parse import urljoin
 
 import pandas as pd
+import pyarrow as pa_lib
+import pyarrow.compute as pc
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,6 +35,11 @@ from pyspark.sql import types as T
 DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 _SPLIT_RE = r"^(?:([a-zA-Z][a-zA-Z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+#: RE2 named-group twin of _SPLIT_RE for pyarrow's extract_regex
+_SPLIT_RE_NAMED = (
+    r"^(?:(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*):)?(?://(?P<netloc>[^/?#]*))?"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
 
 
 def _canon_query(q: str) -> str:
@@ -51,13 +58,52 @@ def _canon_query(q: str) -> str:
 def canonicalize_series(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalization of absolute URLs.
 
-    pandas ``str.extract`` does the URL split for the whole Arrow batch
-    in one C pass; only the (typically short/absent) query strings are
-    touched by a Python loop.
+    Hot path is pyarrow.compute (RE2 + C++ kernels — ~20x the
+    pandas-str throughput, which matters because this UDF is the single
+    biggest cost of a frontier wave); only the canonicalization of
+    DISTINCT query strings runs in Python, which amortizes because
+    frontiers repeat the same query shapes (pagination params) heavily.
+    Falls back to the pandas implementation if the pyarrow kernels are
+    unavailable.
     """
+    try:
+        return _canonicalize_arrow(urls)
+    except (ImportError, AttributeError, pa_lib.ArrowNotImplementedError):
+        return _canonicalize_pandas(urls)
+
+
+def _canonicalize_arrow(urls: pd.Series) -> pd.Series:
+    arr = pa_lib.array(urls.fillna("").astype(str), type=pa_lib.string())
+    parts = pc.extract_regex(arr, _SPLIT_RE_NAMED)
+    # non-matching rows (cannot happen: the regex matches any string) -> ""
+    scheme = pc.utf8_lower(pc.coalesce(pc.struct_field(parts, "scheme"), ""))
+    scheme = pc.if_else(pc.equal(scheme, ""), "http", scheme)
+    netloc = pc.utf8_lower(pc.coalesce(pc.struct_field(parts, "netloc"), ""))
+    path = pc.coalesce(pc.struct_field(parts, "path"), "")
+    query = pc.coalesce(pc.struct_field(parts, "query"), "")
+
+    for sch, port in DEFAULT_PORTS.items():
+        stripped = pc.replace_substring_regex(netloc, f":{port}$", "")
+        netloc = pc.if_else(pc.equal(scheme, sch), stripped, netloc)
+
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    path = pc.replace_substring_regex(path, "/{2,}", "/")
+
+    qs = query.to_pandas()
+    has_q = qs != ""
+    if has_q.any():
+        uniq = {q: _canon_query(q) for q in qs[has_q].unique()}
+        qs = qs.where(~has_q, qs[has_q].map(uniq))
+    tail = pa_lib.array(("?" + qs).where(has_q, ""), type=pa_lib.string())
+    out = pc.binary_join_element_wise(scheme, "://", netloc, path, tail, "")
+    return out.to_pandas()
+
+
+def _canonicalize_pandas(urls: pd.Series) -> pd.Series:
     urls = urls.fillna("").astype(str)
     parts = urls.str.extract(_SPLIT_RE)
     scheme = parts[0].fillna("http").str.lower()
+    scheme = scheme.mask(scheme == "", "http")
     netloc = parts[1].fillna("").str.lower()
     path = parts[2].fillna("")
     query = parts[3].fillna("")
@@ -75,7 +121,9 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
 
     has_q = query != ""
     if has_q.any():
-        query = query.where(~has_q, query[has_q].map(_canon_query))
+        # Python work only per UNIQUE query string
+        uniq = {q: _canon_query(q) for q in query[has_q].unique()}
+        query = query.where(~has_q, query[has_q].map(uniq))
     out = scheme + "://" + netloc + path
     out = out.where(~has_q, out + "?" + query)
     return out

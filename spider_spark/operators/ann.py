@@ -91,18 +91,25 @@ def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
     return out
 
 
-def srp_bucket_udf(dim: int, n_planes: int, table: int, seed: int = 42):
-    """pandas UDF: embedding batch -> SRP bucket id (sign bits packed)."""
-    planes = _planes(dim, n_planes, table, seed)
+def srp_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """pandas UDF: embedding batch -> array of SRP bucket ids, one per
+    hash table (sign bits of the projections, packed to int64). All
+    tables' projections run in ONE matmul over the Arrow batch, so the
+    corpus is scanned once however many tables are used."""
+    all_planes = np.concatenate(
+        [_planes(dim, n_planes, t, seed) for t in range(n_tables)], axis=0
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    @F.pandas_udf("long")
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m @ planes.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(signs @ weights)
+        signs = (m @ all_planes.T) > 0  # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(m), -1, len(weights))  # (batch, tables, planes)
+        ids = signs @ weights  # (batch, tables)
+        return pd.Series(list(ids))
 
-    return bucket
+    return buckets
 
 
 def lsh_bucketed_topk(
@@ -119,22 +126,25 @@ def lsh_bucketed_topk(
     """Approximate top-k: compare only vectors sharing an SRP bucket in
     at least one of ``n_tables`` independent projections.
 
-    At 10^10 vectors the corpus is scanned once per table to tag bucket
-    ids (Arrow-vectorized matmul), then the join runs per (table,
-    bucket) — expected bucket size n / 2^n_planes keeps candidate
-    generation near-linear. Recall grows with n_tables.
+    One Arrow-vectorized pass tags every vector with all table buckets;
+    ``posexplode`` yields (tbl, bucket) keys and the join runs per
+    bucket — expected bucket size n / 2^n_planes keeps candidate
+    generation near-linear at 10^10 vectors. Recall grows with n_tables.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    cand = None
-    for t in range(n_tables):
-        b = srp_bucket_udf(dim, n_planes, t, seed)
-        ct = c.withColumn("bucket", b(F.col("cvec"))).withColumn("tbl", F.lit(t))
-        qt = q.withColumn("bucket", b(F.col("qvec"))).withColumn("tbl", F.lit(t))
-        j = ct.join(F.broadcast(qt), ["tbl", "bucket"]).filter(
-            F.col("neighbor_id") != F.col("query_id")
-        )
-        cand = j if cand is None else cand.unionByName(j)
+    b = srp_buckets_udf(dim, n_planes, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.posexplode(b(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(b(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    cand = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     pairs = cand.select("query_id", "qvec", "neighbor_id", "cvec").distinct()
     scored = pairs.withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -54,8 +54,27 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    sig = TX.minhash_signature(F.col(text_col), n_hashes, shingle_n)
-    return documents.select(F.col(id_col), *sig)
+    """MinHash signature columns mh0..mh{n-1}.
+
+    Tokens and shingles are materialized as separate projection steps so
+    each is computed ONCE per row; inlining them into the n_hashes
+    min-transforms re-evaluates the regex split per shingle element
+    (O(tokens²·hashes) — a measured 60x slowdown at bench scale).
+    """
+    toks = documents.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("_toks")
+    )
+    sh = toks.select(
+        F.col(id_col), TX.word_shingles_from(F.col("_toks"), shingle_n).alias("_sh")
+    )
+    def mh(j: int):
+        # one-arg lambda only: a second (even defaulted) parameter flips
+        # F.transform into its (element, index) overload
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+
+    return sh.select(F.col(id_col), *[mh(j) for j in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -114,9 +133,12 @@ def ngram_jaccard_pairs(
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingles.
     Emits (id_a, id_b, jaccard) for pairs >= threshold, id_a < id_b.
     """
-    sh = documents.select(
+    toks = documents.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("_toks"))
+    sh = toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(TX.word_shingles(F.col(text_col), shingle_n))).alias("s"),
+        F.explode(
+            F.array_distinct(TX.word_shingles_from(F.col("_toks"), shingle_n))
+        ).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
