@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions.urls import with_url_identity
+from ..operators import autothrottle as AT
 from ..operators import dedup as D
 from ..operators import politeness as P
 from ..operators import spans as S
@@ -42,6 +43,7 @@ class CrawlConfig:
     n_salts: int = 8
     max_waves: int = 64
     obey_robots: bool = False  # reference: ROBOTSTXT_OBEY=False (settings.py:21)
+    autothrottle: bool = False  # adaptive delay (settings.py:74-78); off = static policy
     retry_times: int = schemas.RETRY_TIMES
     use_bloom: bool = False  # exact anti-join by default; Bloom is opt-in
     bloom_capacity: int = 1 << 20
@@ -207,6 +209,18 @@ class CrawlEngine:
             )
             self.store.write_wave("metrics", wave, metrics)
             self.store.commit_wave(wave, {"next_seq_base": next_base})
+
+            if cfg.autothrottle:
+                # fold this wave's latency into the policy dim (per-host
+                # EMA, Scrapy _adjust_delay semantics) for the NEXT
+                # wave's scheduler broadcast; the dim is tiny, so the
+                # update collects into a fresh local DataFrame to keep
+                # the policy lineage flat across many waves
+                stats = AT.wave_latency_stats(AT.synthetic_latency(fetched))
+                updated = AT.updated_policy(self.policy, stats)
+                self.policy = self.spark.createDataFrame(
+                    updated.collect(), schema=schemas.HOST_POLICY
+                )
 
             totals["fetched"] += n_fetched
             totals["docs"] += n_docs

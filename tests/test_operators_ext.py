@@ -1,0 +1,274 @@
+"""Tests: streaming, media plumbing, ItemClear specs, AutoThrottle,
+HTML parse (SURVEY.md §2.3-2.7 extensions)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spider_spark.functions.itemclear import FieldSpec, apply_specs
+from spider_spark.operators import autothrottle as AT
+from spider_spark.operators import media as M
+from spider_spark.operators.htmlparse import parse_html_pages, parse_page
+from spider_spark.streaming import events as SE
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hourly_equals_batch(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click", 1.0),
+            ("2024-01-01 10:55:00", "click", 2.0),
+            ("2024-01-01 11:05:00", "view", 3.0),
+            ("2024-01-01 10:30:00", "view", 4.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    batch = SE.hourly_event_counts(ev).orderBy("window_start", "event_type").collect()
+
+    stream = SE.read_events_stream(spark, src, ev.schema)
+    assert stream.isStreaming
+    q = SE.run_to_memory_sink(SE.hourly_event_counts(stream), "hourly_t")
+    got = (
+        spark.table("hourly_t").orderBy("window_start", "event_type").collect()
+    )
+    q.stop()
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+    assert len(got) == 3  # (10h click), (10h view), (11h view)
+
+
+def test_streaming_fetch_rates(spark, tmp_path):
+    log = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:10", "a.example", 200, 120.0),
+            ("2024-01-01 10:00:20", "a.example", 503, 80.0),
+            ("2024-01-01 10:01:10", "b.example", 200, 60.0),
+        ],
+        "ts string, host string, status int, latency_ms double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "log_src")
+    log.write.parquet(src)
+    stream = SE.read_events_stream(spark, src, log.schema)
+    q = SE.run_to_memory_sink(SE.host_fetch_rates(stream), "rates_t")
+    rows = {(r["host"], r["fetched"], r["errors"]) for r in spark.table("rates_t").collect()}
+    q.stop()
+    assert ("a.example", 2, 1) in rows
+    assert ("b.example", 1, 0) in rows
+
+
+# ---------------------------------------------------------------------------
+# media
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        ("img/1", b"aaaa", "image", {"host": "h1"}),
+        ("img/2", b"bbbb", "image", {"host": "h1"}),
+        ("vid/1", b"cccc", "video", {"host": "h2"}),
+        ("img/3", None, "image", None),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_decode_media_stub_deterministic(spark, media_df):
+    out1 = {r["media_ref"]: (r["width"], r["height"], r["n_frames"], r["ok"])
+            for r in M.decode_media(media_df).collect()}
+    out2 = {r["media_ref"]: (r["width"], r["height"], r["n_frames"], r["ok"])
+            for r in M.decode_media(media_df).collect()}
+    assert out1 == out2
+    assert out1["img/3"] == (None, None, None, False)
+    assert out1["img/1"][3] and out1["img/1"][0] >= 64
+    assert out1["vid/1"][2] >= 1
+
+
+def test_media_features_and_frames(spark, media_df):
+    dec = M.decode_media(media_df)
+    feats = M.media_features(dec, embed_dim=8).filter(F.col("ok"))
+    row = feats.filter(F.col("media_ref") == "img/1").collect()[0]
+    assert len(row["embedding"]) == 8
+    assert all(-1.0 <= v <= 1.0 for v in row["embedding"])
+    frames = M.sample_frames(dec, every_n=24)
+    vid = frames.filter(F.col("media_ref") == "vid/1")
+    n_frames = dec.filter(F.col("media_ref") == "vid/1").collect()[0]["n_frames"]
+    assert vid.count() == (n_frames - 1) // 24 + 1
+
+
+def test_spans_media_refs(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("media", None, "m1", 0), ("text", "x", None, 1), ("media", None, "m2", 2)]),
+            ("d2", [("media", None, "m1", 0)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r["media_ref"]: (r["first_doc_id"], r["n_refs"]) for r in M.spans_media_refs(docs).collect()}
+    assert out == {"m1": ("d1", 2), "m2": ("d1", 1)}
+
+
+# ---------------------------------------------------------------------------
+# ItemClear spec engine
+# ---------------------------------------------------------------------------
+
+
+def test_itemclear_specs(spark):
+    df = spark.createDataFrame(
+        [
+            ("  1.250,50 € / Monat ", "<b>Schöne Wohnung</b> mit Balkon", "zwei Zimmer", "1.100 sq ft"),
+        ],
+        "rent_raw string, desc_raw string, rooms_raw string, area_raw string",
+    )
+    specs = [
+        FieldSpec("rent", "rent_raw", get_num=True),
+        FieldSpec("description", "desc_raw", strip_html=True),
+        FieldSpec("balcony", "desc_raw", true_words=["balkon", "balcony"]),
+        FieldSpec("room_count", "rooms_raw", split=(" ", 1), word_num=True, get_num=True),
+        FieldSpec("square_meters", "area_raw", get_num=True, sq_ft=True),
+    ]
+    row = apply_specs(df, specs).collect()[0]
+    assert row["rent"] == 1250.5
+    assert row["description"] == "Schöne Wohnung mit Balkon"
+    assert row["balcony"] is True
+    assert row["room_count"] == 2.0
+    # 1100 sq ft * 0.09290304 = 102.19 -> 102
+    assert row["square_meters"] == 102
+
+
+def test_itemclear_false_words_and_split_negative(spark):
+    df = spark.createDataFrame(
+        [("no pets allowed", "a|b|c")], "pets_raw string, parts_raw string"
+    )
+    specs = [
+        FieldSpec("pets_allowed", "pets_raw", true_words=["pets"], false_words=["no pets"]),
+        FieldSpec("last_part", "parts_raw", split=("|", -1)),
+    ]
+    row = apply_specs(df, specs).collect()[0]
+    assert row["pets_allowed"] is False
+    assert row["last_part"] == "c"
+
+
+# ---------------------------------------------------------------------------
+# AutoThrottle
+# ---------------------------------------------------------------------------
+
+
+def test_autothrottle_update(spark):
+    policy = spark.createDataFrame(
+        [
+            ("fast.example", 0.1, 16, []),
+            ("slow.example", 0.1, 16, []),
+            ("idle.example", 0.5, 16, []),
+            ("err.example", 1.5, 16, []),
+        ],
+        "host string, crawl_delay_s double, max_concurrency int, robots_disallow array<string>",
+    )
+    latency = spark.createDataFrame(
+        [
+            ("fast.example", 100.0, 0, 10),   # 0.1s latency -> stays at floor
+            ("slow.example", 1900.0, 0, 10),  # 1.9s -> delay rises toward 1.0
+            ("err.example", 200.0, 3, 10),    # errors: may not decrease
+        ],
+        "host string, latency_ms_avg double, n_errors long, n_fetched long",
+    )
+    out = {r["host"]: r["crawl_delay_s"] for r in AT.updated_policy(policy, latency).collect()}
+    assert out["fast.example"] == pytest.approx(0.1)  # clamped to floor
+    assert out["slow.example"] == pytest.approx((0.1 + 1.9) / 2)
+    assert out["idle.example"] == pytest.approx(0.5)  # untouched (no traffic)
+    assert out["err.example"] == pytest.approx(1.5)  # error wave: no decrease
+
+
+def test_autothrottle_clamps_to_max(spark):
+    policy = spark.createDataFrame(
+        [("h.example", 1.8, 16, [])],
+        "host string, crawl_delay_s double, max_concurrency int, robots_disallow array<string>",
+    )
+    latency = spark.createDataFrame(
+        [("h.example", 5000.0, 0, 5)],
+        "host string, latency_ms_avg double, n_errors long, n_fetched long",
+    )
+    out = AT.updated_policy(policy, latency).collect()[0]
+    assert out["crawl_delay_s"] == pytest.approx(2.0)  # MAX_CRAWL_DELAY_S
+
+
+def test_synthetic_latency_deterministic(spark):
+    df = spark.createDataFrame([("http://a/1",), ("http://a/2",)], "canonical_url string")
+    a = [r["latency_ms"] for r in AT.synthetic_latency(df).collect()]
+    b = [r["latency_ms"] for r in AT.synthetic_latency(df).collect()]
+    assert a == b
+    assert all(100 <= v < 1500 for v in a)
+
+
+# ---------------------------------------------------------------------------
+# HTML parse
+# ---------------------------------------------------------------------------
+
+HTML = """
+<html><head><title>skip me</title><script>var x=1;</script></head>
+<body>
+  <h1>Nice flat</h1>
+  <a href="/detail/1">one</a>
+  <img src="/img/a.jpg"/>
+  <p>Sunny two-room with balcony</p>
+  <img src="/img/b.jpg"/>
+  <img src="/img/a.jpg"/>
+  <a href="/detail/2">two</a>
+</body></html>
+"""
+
+
+def test_parse_page_pure():
+    links, spans = parse_page(HTML)
+    assert links == ["/detail/1", "/detail/2"]
+    kinds = [(s[0], s[1] or s[2]) for s in spans]
+    # document order preserved; dup img/a.jpg removed keep-first
+    assert ("media", "/img/a.jpg") in kinds and ("media", "/img/b.jpg") in kinds
+    assert kinds.count(("media", "/img/a.jpg")) == 1
+    text_all = " ".join(s[1] for s in spans if s[0] == "text")
+    assert "Nice flat" in text_all and "balcony" in text_all
+    assert "skip me" not in text_all and "var x" not in text_all
+    assert [s[3] for s in spans] == list(range(len(spans)))
+
+
+def test_parse_html_pages_df(spark):
+    df = spark.createDataFrame([("http://h/p1", HTML), ("http://h/p2", "")], "url string, html string")
+    out = {r["url"]: r for r in parse_html_pages(df).collect()}
+    assert out["http://h/p1"]["out_links"] == ["/detail/1", "/detail/2"]
+    assert len(out["http://h/p1"]["spans"]) >= 5
+    assert out["http://h/p2"]["out_links"] == []
+
+
+def test_engine_autothrottle_adapts(spark, tmp_path):
+    """With autothrottle on, the crawl still reaches the same final doc
+    set (politeness only delays dispatch) and host delays move."""
+    from spider_spark.plans.engine import CrawlConfig, CrawlEngine
+    from spider_spark.storage.catalog import SnapshotStore
+    from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
+
+    spec = WebSpec(seed=5, n_hosts=3, pages_per_host=2, details_per_page=3)
+    base_policy = host_policy_df(spark, spec)
+
+    def run(flag, sub):
+        store = SnapshotStore(spark, str(tmp_path / sub))
+        eng = CrawlEngine(
+            spark, web_df(spark, spec), base_policy, store,
+            CrawlConfig(crawl_id="t", n_buckets=8, max_waves=40, autothrottle=flag),
+        )
+        eng.run(seeds_df(spark, spec))
+        return eng
+
+    e_on = run(True, "on")
+    e_off = run(False, "off")
+    docs_on = {r["doc_id"] for r in e_on.documents().collect()}
+    docs_off = {r["doc_id"] for r in e_off.documents().collect()}
+    assert docs_on == docs_off and len(docs_on) > 5
+    # delays adapted away from the static policy for at least one host
+    adapted = {r["host"]: r["crawl_delay_s"] for r in e_on.policy.collect()}
+    static = {r["host"]: r["crawl_delay_s"] for r in base_policy.collect()}
+    assert any(abs(adapted[h] - static[h]) > 1e-9 for h in adapted)
