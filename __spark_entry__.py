@@ -567,6 +567,142 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON source / ItemClear / AutoThrottle / HTML parse / fetch rates
+# ---------------------------------------------------------------------------
+
+
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON API source (SURVEY.md §2.1, 693 spiders parse response.json):
+    typed extraction from the events.props JSON column."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.col("event_id").alias("eid"),
+        F.from_json(F.col("props"), "struct<k:int>").alias("p"),
+    )
+    return parsed.select("eid", F.col("p.k").alias("k"))
+
+
+def q_itemclear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ItemClear spec engine (helper.py:533-653): replace/split/
+    word2number/get_num/bool-words compiled to one projection."""
+    from spider_spark.functions.itemclear import FieldSpec, apply_specs
+
+    ev = _t(spark, sf_dir, "events")
+    words = ["one", "two", "three", "four", "five"]
+    raw = ev.select(
+        F.col("event_id").alias("eid"),
+        F.concat(
+            F.lit("  "), ((F.col("event_id") % 29) + 1).cast("string"), F.lit("."),
+            F.lpad((F.col("user_id") % 1000).cast("string"), 3, "0"),
+            F.lit(",50 € warm  "),
+        ).alias("rent_raw"),
+        F.concat(
+            F.element_at(
+                F.array(*[F.lit(w) for w in words]), (F.col("event_id") % 5 + 1).cast("int")
+            ),
+            F.lit(" rooms"),
+        ).alias("rooms_raw"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("<p>mit Balkon</p>"))
+        .otherwise(F.lit("<p>ohne Aussen</p>"))
+        .alias("desc_raw"),
+    )
+    specs = [
+        FieldSpec("rent", "rent_raw", get_num=True),
+        FieldSpec("room_count", "rooms_raw", split=(" ", 1), word_num=True, get_num=True),
+        FieldSpec("balcony", "desc_raw", strip_html=True, true_words=["balkon"]),
+    ]
+    return apply_specs(raw, specs, keep=["eid"])
+
+
+def q_autothrottle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoThrottle policy update (settings.py:74-78 semantics): EMA
+    toward observed latency, no decrease after errors, clamped 0.1-2s."""
+    from spider_spark.operators import autothrottle as AT
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".example"))
+    stats = (
+        ev.select(
+            host.alias("host"),
+            (F.col("value") * 100).alias("latency_ms"),
+            (F.col("event_id") % 11 < 2).cast("long").alias("err"),
+        )
+        .groupBy("host")
+        .agg(
+            F.avg("latency_ms").alias("latency_ms_avg"),
+            F.sum("err").alias("n_errors"),
+            F.count("*").alias("n_fetched"),
+        )
+    )
+    hosts = stats.select("host").distinct()
+    host_id = F.regexp_extract(F.col("host"), r"h(\d+)", 1).try_cast("int")
+    policy = hosts.select(
+        "host",
+        F.when(host_id % 3 == 0, 1.5).otherwise(0.25).alias("crawl_delay_s"),
+        F.lit(16).alias("max_concurrency"),
+        F.array().cast("array<string>").alias("robots_disallow"),
+    )
+    out = AT.updated_policy(policy, stats)
+    return out.select("host", F.round("crawl_delay_s", 4).alias("crawl_delay_s"))
+
+
+def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML parse stage (mapInPandas, stdlib parser): deterministic HTML
+    built from documents — expected spans/links reconstructed by the
+    oracle directly."""
+    from spider_spark.operators.htmlparse import parse_html_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>skip</title></head><body><h1>"),
+        F.col("text"),
+        F.lit('</h1><a href="/d/'), F.col("doc_id").cast("string"),
+        F.lit('">more</a><img src="/i/'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.jpg"/><img src="/i/'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('.jpg"/></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+    parsed = parse_html_pages(pages)
+    return parsed.select(
+        "url",
+        F.size("out_links").alias("n_links"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "url",
+        "n_links",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def q_fetch_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host per-minute fetch rates (batch twin of the streaming
+    host_fetch_rates — identical plan runs under readStream)."""
+    from spider_spark.streaming.events import host_fetch_rates
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("ts"),
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"), F.lit(".example")).alias("host"),
+        F.when(F.col("event_id") % 11 < 2, 503).otherwise(200).cast("int").alias("status"),
+        (F.col("value") * 100).alias("latency_ms"),
+    )
+    out = host_fetch_rates(log, window="1 minute")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "host",
+        "fetched",
+        "avg_latency_ms",
+        "errors",
+    )
+
+
+# ---------------------------------------------------------------------------
 # flagship / non-SQL extras
 # ---------------------------------------------------------------------------
 
@@ -657,6 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "json_source": q_json_source,
+        "itemclear": q_itemclear,
+        "autothrottle": q_autothrottle,
+        "html_parse": q_html_parse,
+        "fetch_rates": q_fetch_rates,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1062,6 +1203,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "json_source": """
+            SELECT event_id AS eid, CAST(props->>'$.k' AS INT) AS k FROM events
+        """,
+        "itemclear": """
+            SELECT event_id AS eid,
+                   CAST((event_id % 29 + 1) * 1000 + (user_id % 1000) AS DOUBLE)
+                       + 0.5 AS rent,
+                   CAST(event_id % 5 + 1 AS DOUBLE) AS room_count,
+                   CASE WHEN event_id % 2 = 0 THEN true ELSE NULL END AS balcony
+            FROM events
+        """,
+        "autothrottle": """
+            WITH stats AS (
+                SELECT 'h' || (user_id % 40) || '.example' AS host,
+                       (user_id % 40) AS hid,
+                       avg(value * 100) AS lat,
+                       sum(CASE WHEN event_id % 11 < 2 THEN 1 ELSE 0 END) AS nerr
+                FROM events GROUP BY 1, 2),
+            c AS (
+                SELECT host,
+                       CASE WHEN hid % 3 = 0 THEN CAST(1.5 AS DOUBLE)
+                            ELSE CAST(0.25 AS DOUBLE) END AS cur,
+                       lat, nerr
+                FROM stats),
+            n AS (SELECT host, cur, (cur + lat / 1000.0) / 2.0 AS newd, nerr FROM c),
+            p AS (SELECT host, CASE WHEN nerr > 0 AND newd < cur THEN cur
+                              ELSE newd END AS prop FROM n)
+            SELECT host,
+                   round(least(greatest(prop, CAST(0.1 AS DOUBLE)),
+                               CAST(2.0 AS DOUBLE)), 4) AS crawl_delay_s
+            FROM p
+        """,
+        "html_parse": """
+            WITH base AS (
+                SELECT 'http://docs.example/' || doc_id AS url,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+                       doc_id % 5 AS m
+                FROM documents)
+            SELECT url, 1 AS n_links, 'text' AS kind, t AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset" FROM base
+            UNION ALL
+            SELECT url, 1, 'text', 'more', NULL, 1 FROM base
+            UNION ALL
+            SELECT url, 1, 'media', NULL, '/i/' || m || '.jpg', 2 FROM base
+        """,
+        "fetch_rates": """
+            SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+                   'h' || (user_id % 40) || '.example' AS host,
+                   count(*) AS fetched,
+                   round(avg(value * 100), 2) AS avg_latency_ms,
+                   CAST(sum(CASE WHEN event_id % 11 < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors
             FROM events GROUP BY 1, 2
         """,
         "sessionize": """
