@@ -1,0 +1,156 @@
+"""Spider registry: the 3,788 per-site spider files as CONFIG ROWS.
+
+In the reference every site is a class carrying (seed list, per-site
+config: country/locale/external_source/thousand+scale separators,
+politeness overrides, property-type mappings) plus parse callbacks
+(``templates/spiders/reva.tmpl:12-16``, ``360pm_com_au.py:19-22``,
+``95bis_com.py:28``). Here a site is:
+
+* one row in the **spiders dimension table** (broadcast everywhere the
+  per-site config is needed — separators for numeric parsing, currency
+  resolution, politeness overrides), and
+* a list of :class:`~spider_spark.functions.itemclear.FieldSpec`
+  recipes — the declarative ``populate_item`` — compiled to one
+  projection by ``apply_specs``.
+
+The fleet then runs as ONE job over `frontier JOIN spiders_dim` instead
+of 3,788 processes: per-site behavior is data, not code, which is what
+makes the engine schedulable at 10^10 URLs (no per-site task setup, no
+Python class dispatch in the hot path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions.itemclear import FieldSpec
+
+SPIDERS_DIM = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("country", T.StringType(), True),
+        T.StructField("locale", T.StringType(), True),
+        T.StructField("thousand_separator", T.StringType(), False),
+        T.StructField("scale_separator", T.StringType(), False),
+        T.StructField("download_delay_s", T.DoubleType(), True),  # custom_settings override
+        T.StructField("proxy_country", T.StringType(), True),  # PROXY_ON analog; no-op here
+        T.StructField("seeds", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+@dataclass
+class SiteSpec:
+    source: str
+    seeds: list[str]
+    country: str | None = None
+    locale: str | None = None
+    thousand_separator: str = "."
+    scale_separator: str = ","
+    download_delay_s: float | None = None
+    proxy_country: str | None = None
+    fields: list[FieldSpec] = field(default_factory=list)
+
+
+#: example registry entries modeling the reference's canonical shapes
+#: (an IT site with dot-thousands, a UK site with comma-thousands and
+#: sq-ft areas, a DE site with word-numbers) — real deployments append
+#: one SiteSpec per site.
+REGISTRY: dict[str, SiteSpec] = {}
+
+
+def register(spec: SiteSpec) -> SiteSpec:
+    REGISTRY[spec.source] = spec
+    return spec
+
+
+register(
+    SiteSpec(
+        source="example_it",
+        seeds=["http://example-it.example/list?page=1"],
+        country="it",
+        locale="it",
+        thousand_separator=".",
+        scale_separator=",",
+        fields=[
+            FieldSpec("rent", "rent_raw", get_num=True),
+            FieldSpec("square_meters", "area_raw", get_num=True),
+            FieldSpec("balcony", "desc_raw", strip_html=True, true_words=["balcone"]),
+        ],
+    )
+)
+
+register(
+    SiteSpec(
+        source="example_uk",
+        seeds=["http://example-uk.example/search"],
+        country="uk",
+        locale="en",
+        thousand_separator=",",
+        scale_separator=".",
+        download_delay_s=1.0,  # DOWNLOAD_DELAY override shape (95bis_com.py:28)
+        fields=[
+            FieldSpec(
+                "rent", "rent_raw", get_num=True,
+                thousand_separator=",", scale_separator=".", per_week=True,
+            ),
+            FieldSpec(
+                "square_meters", "area_raw", get_num=True,
+                thousand_separator=",", scale_separator=".", sq_ft=True,
+            ),
+            FieldSpec("pets_allowed", "desc_raw", true_words=["pets"], false_words=["no pets"]),
+        ],
+    )
+)
+
+register(
+    SiteSpec(
+        source="example_de",
+        seeds=["http://example-de.example/wohnungen"],
+        country="de",
+        locale="de",
+        fields=[
+            FieldSpec("rent", "rent_raw", get_num=True),
+            FieldSpec("room_count", "rooms_raw", split=(" ", 1), word_num=True, get_num=True),
+            FieldSpec("elevator", "desc_raw", true_words=["aufzug", "fahrstuhl"]),
+        ],
+    )
+)
+
+
+def spiders_dim_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:
+    reg = registry if registry is not None else REGISTRY
+    rows = [
+        (
+            s.source, s.country, s.locale, s.thousand_separator, s.scale_separator,
+            s.download_delay_s, s.proxy_country, s.seeds,
+        )
+        for s in reg.values()
+    ]
+    return spark.createDataFrame(rows, SPIDERS_DIM)
+
+
+def seeds_from_registry(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:
+    """Seed DataFrame in the engine's SEEDS shape (one row per seed URL,
+    meta carries country/locale the way the reference threads
+    property_type through meta, readme.md:33-55)."""
+    reg = registry if registry is not None else REGISTRY
+    rows = []
+    for s in reg.values():
+        for url in s.seeds:
+            rows.append(
+                (url, s.source, {"country": s.country or "", "locale": s.locale or ""}, 0)
+            )
+    from ..schemas import SEEDS
+
+    return spark.createDataFrame(rows, SEEDS)
+
+
+def extract_for_site(df: DataFrame, source: str, keep: list[str] | None = None) -> DataFrame:
+    """Apply one site's field recipes to its raw-extraction rows."""
+    from ..functions.itemclear import apply_specs
+
+    return apply_specs(df, REGISTRY[source].fields, keep=keep)

@@ -272,3 +272,43 @@ def test_engine_autothrottle_adapts(spark, tmp_path):
     adapted = {r["host"]: r["crawl_delay_s"] for r in e_on.policy.collect()}
     static = {r["host"]: r["crawl_delay_s"] for r in base_policy.collect()}
     assert any(abs(adapted[h] - static[h]) > 1e-9 for h in adapted)
+
+
+# ---------------------------------------------------------------------------
+# spider registry
+# ---------------------------------------------------------------------------
+
+
+def test_registry_dim_and_seeds(spark):
+    from spider_spark.sources.registry import REGISTRY, seeds_from_registry, spiders_dim_df
+
+    dim = spiders_dim_df(spark)
+    assert dim.count() == len(REGISTRY) >= 3
+    uk = dim.filter(F.col("source") == "example_uk").collect()[0]
+    assert uk["thousand_separator"] == "," and uk["download_delay_s"] == 1.0
+    seeds = seeds_from_registry(spark)
+    assert seeds.count() >= 3
+    row = seeds.filter(F.col("source") == "example_de").collect()[0]
+    assert row["meta"]["locale"] == "de"
+
+
+def test_registry_extraction_per_site(spark):
+    from spider_spark.sources.registry import extract_for_site
+
+    raw_uk = spark.createDataFrame(
+        [("£1,200.50 pw", "1,100 sq ft", "sorry no pets")],
+        "rent_raw string, area_raw string, desc_raw string",
+    )
+    row = extract_for_site(raw_uk, "example_uk").collect()[0]
+    assert row["rent"] == 1200.5 * 4  # per_week -> monthly
+    assert row["square_meters"] == 102  # 1100 ft2 -> m2
+    assert row["pets_allowed"] is False
+
+    raw_de = spark.createDataFrame(
+        [("1.250,00 €", "drei Zimmer", "Aufzug vorhanden")],
+        "rent_raw string, rooms_raw string, desc_raw string",
+    )
+    row = extract_for_site(raw_de, "example_de").collect()[0]
+    assert row["rent"] == 1250.0
+    assert row["room_count"] == 3.0
+    assert row["elevator"] is True
