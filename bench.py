@@ -60,6 +60,37 @@ def frontier_pipeline(spark, n_urls: int):
     return dispatch.count(), n_urls
 
 
+def bench_seen_set(spark, n_urls: int = 1_000_000):
+    """Cross-wave Bloom seen-set at bench scale: wave 1 admits all and
+    folds fingerprints into per-bucket filters; wave 2 re-checks the
+    same candidates against the updated filters (expect ~0 admitted —
+    Bloom FPs only). Exercises the applyInPandas cogroup hot path."""
+    raw = gen_frontier_df(spark, n_urls, n_hosts=N_HOSTS).withColumn(
+        "crawl_id", F.lit("bench")
+    )
+    cand = D.dedup_intra_batch(with_url_identity(raw, 256)).persist()
+    cand.count()
+    spec = D.BloomSpec(capacity=max(n_urls // 256 * 4, 1 << 16), fpr=1e-6)
+    empty = spark.createDataFrame(
+        [], "crawl_id string, host_bucket int, wave int, filter_bytes binary"
+    )
+    t0 = time.monotonic()
+    admitted = D.dedup_bloom(cand, empty, spec).persist()
+    n1 = admitted.count()
+    filters = D.updated_filters(admitted, empty, spec, 1).persist()
+    filters.count()
+    t1 = time.monotonic()
+    n2 = D.dedup_bloom(cand, filters, spec).count()
+    t2 = time.monotonic()
+    cand.unpersist(), admitted.unpersist(), filters.unpersist()
+    return {
+        "bloom_insert": round(t1 - t0, 3),
+        "bloom_recheck": round(t2 - t1, 3),
+        "_admitted_wave1": n1,
+        "_admitted_wave2": n2,
+    }
+
+
 def bench_frontier(spark, reps: int = 2):
     best, dispatched = None, 0
     for _ in range(reps):
@@ -169,6 +200,8 @@ def main():
     frontier_s, fstats = bench_frontier(spark)
     queries = {"frontier_wave": round(frontier_s, 3)}
     if not args.frontier_only:
+        seen = bench_seen_set(spark)
+        queries.update({k: v for k, v in seen.items() if not k.startswith("_")})
         queries.update(bench_queries(spark, sf_dir))
 
     result = {

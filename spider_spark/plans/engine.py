@@ -46,8 +46,12 @@ class CrawlConfig:
     autothrottle: bool = False  # adaptive delay (settings.py:74-78); off = static policy
     retry_times: int = schemas.RETRY_TIMES
     use_bloom: bool = False  # exact anti-join by default; Bloom is opt-in
+    seen_backend: str | None = None  # None->use_bloom flag; "exact"|"bloom"|"cuckoo"
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 1e-6
+
+    def backend(self) -> str:
+        return self.seen_backend or ("bloom" if self.use_bloom else "exact")
 
 
 class CrawlEngine:
@@ -73,13 +77,20 @@ class CrawlEngine:
         """identity -> intra-batch dedup -> seen-set dedup -> record."""
         cand = with_url_identity(candidates, self.cfg.n_buckets)
         cand = D.dedup_intra_batch(cand)
-        if self.cfg.use_bloom:
+        backend = self.cfg.backend()
+        if backend in ("bloom", "cuckoo"):
+            from ..operators import cuckoo as C
+
             filters = self.store.read_table(
                 "url_seen_filters", "latest", schema=schemas.URL_SEEN_FILTERS
             )
-            admitted = D.dedup_bloom(cand, filters, self.bloom_spec)
-            admitted = admitted.persist()
-            new_filters = D.updated_filters(admitted, filters, self.bloom_spec, wave)
+            if backend == "bloom":
+                admitted = D.dedup_bloom(cand, filters, self.bloom_spec).persist()
+                new_filters = D.updated_filters(admitted, filters, self.bloom_spec, wave)
+            else:
+                spec = C.CuckooSpec(self.cfg.bloom_capacity)
+                admitted = C.dedup_cuckoo(cand, filters, spec).persist()
+                new_filters = C.updated_cuckoo_filters(admitted, filters, spec, wave)
             self.store.write_wave("url_seen_filters", wave, new_filters)
         else:
             seen = self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)

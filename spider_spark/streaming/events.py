@@ -90,14 +90,78 @@ def host_fetch_rates(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_s: int = 120):
+def sessionize_with_state(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the engine-level analog of Scrapy's
+    per-spider in-memory accumulation, but partitioned by key and
+    checkpointable).
+
+    State per user: (last_epoch, session_no, n_events, session_start).
+    Each micro-batch emits one row per session touched in the batch —
+    completed sessions are final; the still-open session is provisional
+    and re-emitted (updated) if a later batch extends it. Batch-mode
+    equivalence: with all data in one batch the emitted rows equal the
+    batch ``sessionize`` aggregation.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_no long, n_events long, session_start string"
+    )
+    state_schema = "last_epoch long, session_no long, n long, start string"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_epoch, session_no, n, start = state.get
+        else:
+            last_epoch, session_no, n, start = None, 0, 0, None
+        touched = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_epoch", "event_id"])
+            for ep, _eid in zip(pdf["_epoch"], pdf["event_id"]):
+                ep = int(ep)
+                if last_epoch is None or ep - last_epoch > gap_s:
+                    session_no += 1
+                    n = 1
+                    start = pd.Timestamp(ep, unit="s").strftime("%Y-%m-%d %H:%M:%S")
+                else:
+                    n += 1
+                last_epoch = ep
+                touched[session_no] = (n, start)
+        state.update((last_epoch, session_no, n, start))
+        yield pd.DataFrame(
+            [
+                (user_id, sn, cnt, st)
+                for sn, (cnt, st) in sorted(touched.items())
+            ],
+            columns=["user_id", "session_no", "n_events", "session_start"],
+        )
+
+    prepped = events.withColumn(
+        "_epoch", F.col("ts").cast("timestamp").cast("long")
+    ).select("user_id", "event_id", "_epoch")
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, timeout_s: int = 120, mode: str = "complete"
+):
     """Drain an availableNow stream into an in-memory table (tests) and
-    return the completed query. Complete mode because the aggregations
-    above hold running state."""
+    return the completed query. Complete mode for the windowed
+    aggregations (running state); append for applyInPandasWithState."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

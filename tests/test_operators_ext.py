@@ -312,3 +312,26 @@ def test_registry_extraction_per_site(spark):
     assert row["rent"] == 1250.0
     assert row["room_count"] == 3.0
     assert row["elevator"] is True
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch window sessionization
+    when all data arrives in one availableNow batch."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.write.parquet(src)
+
+    import __spark_entry__ as E
+    batch = {
+        (r["user_id"], r["session_no"], r["n_events"], r["session_start"])
+        for r in E.q_sessionize(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    stream = SE.read_events_stream(spark, src, ev.schema, max_files_per_trigger=100)
+    q = SE.run_to_memory_sink(SE.sessionize_with_state(stream), "sess_t", mode="append")
+    got = {
+        (r["user_id"], r["session_no"], r["n_events"], r["session_start"])
+        for r in spark.table("sess_t").collect()
+    }
+    q.stop()
+    assert got == batch and len(got) > 50
