@@ -702,6 +702,38 @@ def q_fetch_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geocode enrichment as a broadcast dim join (replaces the
+    reference's per-row ArcGIS RPC, helper.py:366-387)."""
+    from spider_spark.functions.enrich import enrich_geocode, geo_fixture_df
+
+    ev = _t(spark, sf_dir, "events")
+    listings = ev.select(
+        F.col("event_id").alias("eid"),
+        (F.col("event_id") % 200).cast("int").alias("address_key"),
+    )
+    out = enrich_geocode(listings, geo_fixture_df(spark))
+    return out.select("eid", "latitude", "longitude", "zipcode", "city")
+
+
+def q_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FX conversion via broadcast rates dim (helper.py:453-485)."""
+    from spider_spark.functions.enrich import convert_to_eur, fx_rates_df
+
+    ev = _t(spark, sf_dir, "events")
+    curs = ["EUR", "GBP", "USD", "AUD", "TRY", "CHF", "QAR", "XXX"]
+    rows = ev.select(
+        F.col("event_id").alias("eid"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in curs]), (F.col("event_id") % 8 + 1).cast("int")
+        ).alias("currency"),
+        ((F.col("event_id") % 4000) + 100).cast("double").alias("rent"),
+    )
+    return convert_to_eur(rows, fx_rates_df(spark)).select(
+        "eid", "currency", "rent", "rent_eur"
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship / non-SQL extras
 # ---------------------------------------------------------------------------
@@ -798,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autothrottle": q_autothrottle,
         "html_parse": q_html_parse,
         "fetch_rates": q_fetch_rates,
+        "geocode": q_geocode,
+        "fx_convert": q_fx_convert,
         "crawl_end_to_end": q_crawl_end_to_end,
     }
 
@@ -1258,6 +1292,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_id % 11 < 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS errors
             FROM events GROUP BY 1, 2
+        """,
+        "geocode": """
+            WITH geo AS (
+                SELECT CAST(k AS INT) AS address_key,
+                       '45.' || lpad(CAST((k * 37) % 10000 AS VARCHAR), 4, '0')
+                           AS latitude,
+                       '8.' || lpad(CAST((k * 53) % 10000 AS VARCHAR), 4, '0')
+                           AS longitude,
+                       CAST(10000 + (k * 7) % 89999 AS VARCHAR) AS zipcode,
+                       'city' || (k % 40) AS city
+                FROM (SELECT unnest(range(0, 200)) AS k))
+            SELECT event_id AS eid, latitude, longitude, zipcode, city
+            FROM events JOIN geo ON geo.address_key = CAST(event_id % 200 AS INT)
+        """,
+        "fx_convert": """
+            WITH rows AS (
+                SELECT event_id AS eid,
+                       (['EUR','GBP','USD','AUD','TRY','CHF','QAR','XXX'])
+                           [CAST(event_id % 8 AS INT) + 1] AS currency,
+                       CAST((event_id % 4000) + 100 AS DOUBLE) AS rent
+                FROM events),
+            rates AS (
+                SELECT unnest(['EUR','GBP','USD','AUD','TRY','CHF','QAR']) AS currency,
+                       unnest([1.0, 1.17, 0.92, 0.61, 0.028, 1.05, 0.25]) AS rate_eur)
+            SELECT eid, rows.currency, rent,
+                   round(rent * CAST(rate_eur AS DOUBLE), 2) AS rent_eur
+            FROM rows LEFT JOIN rates ON rows.currency = rates.currency
         """,
         "sessionize": """
             WITH g AS (

@@ -46,10 +46,17 @@ N_HOSTS = 2_000
 
 def frontier_pipeline(spark, n_urls: int):
     """The north-rule hot path: admit + schedule one wave of a raw
-    frontier. Returns (dispatch_count, candidate_count)."""
+    frontier. Returns (dispatch_count, candidate_count).
+
+    The admitted frontier is persisted before scheduling — matching the
+    engine, where each wave's pending set is a materialized table
+    (store.write_wave/read_table). Without it the scheduler's
+    rank-then-join-back shape would re-run the canonicalize UDF.
+    """
     raw = gen_frontier_df(spark, n_urls, n_hosts=N_HOSTS)
     cand = with_url_identity(raw.withColumn("crawl_id", F.lit("bench")), 1024)
-    admitted = D.dedup_intra_batch(cand)
+    admitted = D.dedup_intra_batch(cand).persist()
+    admitted.count()
     policy = spark.range(N_HOSTS).select(
         F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
         F.when(F.col("id") % 7 == 0, 1.0).otherwise(0.125).alias("crawl_delay_s"),
@@ -57,7 +64,9 @@ def frontier_pipeline(spark, n_urls: int):
         F.array().cast("array<string>").alias("robots_disallow"),
     )
     dispatch, _deferred = P.schedule_wave(admitted, policy, wave_seconds=2.0, n_salts=16)
-    return dispatch.count(), n_urls
+    n = dispatch.count()
+    admitted.unpersist()
+    return n, n_urls
 
 
 def bench_seen_set(spark, n_urls: int = 1_000_000):
@@ -193,9 +202,11 @@ def main():
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # warm the JVM + Python-worker pool (pandas UDF workers fork+import
-    # on first use) so timings measure the operators
+    # on first use; whole-stage codegen JIT-compiles on early runs) so
+    # timings measure the operators — the warm-up frontier is sized to
+    # give every worker several Arrow batches
     spark.range(1_000_000).select(F.sum("id")).collect()
-    frontier_pipeline(spark, 50_000)
+    frontier_pipeline(spark, 1_000_000)
 
     frontier_s, fstats = bench_frontier(spark)
     queries = {"frontier_wave": round(frontier_s, 3)}

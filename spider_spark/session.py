@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill files on tmpfs when available: on this single box the
+    # disk is shared by all cores, so spill bandwidth is a SERIAL
+    # fraction that caps multi-core scaling (a real cluster adds disks
+    # with every executor). RAM-backed local dirs restore the per-core
+    # bandwidth a cluster would have.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        local_dir = os.path.join(shm, "spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

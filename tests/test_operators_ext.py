@@ -335,3 +335,93 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     }
     q.stop()
     assert got == batch and len(got) > 50
+
+
+def test_schedule_global_cap(spark):
+    """Global concurrency cap (CONCURRENT_REQUESTS=320 analog) bounds
+    the wave after per-host budgets, keeping highest-priority rows."""
+    from spider_spark.operators import politeness as P
+
+    rows = [
+        ("t", f"fp{h}_{i}", False, h * 100 + i, f"h{h}.example", i % 3)
+        for h in range(6) for i in range(10)
+    ]
+    pending = spark.createDataFrame(
+        rows,
+        "crawl_id string, fingerprint string, dont_filter boolean, "
+        "discovered_seq long, host string, priority int",
+    )
+    policy = spark.createDataFrame(
+        [(f"h{h}.example", 0.125, 16, []) for h in range(6)],
+        "host string, crawl_delay_s double, max_concurrency int, robots_disallow array<string>",
+    )
+    d_uncapped, _ = P.schedule_wave(pending, policy, wave_seconds=1.0)
+    assert d_uncapped.count() == 6 * 8  # budget 8/host
+    d_capped, deferred = P.schedule_wave(pending, policy, wave_seconds=1.0, global_cap=10)
+    got = d_capped.collect()
+    assert len(got) == 10
+    assert all(r["priority"] == 2 for r in got)  # highest priority first
+    assert deferred.count() == 60 - 10
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_sink_write_and_validate(spark, tmp_path):
+    from spider_spark.storage import sinks as SK
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", "hello", None, 0), ("media", None, "m1", 1)]),
+            ("d2", []),  # missing spans
+            ("d3", [("text", None, None, 0)]),  # bad kind payload
+            ("d4", [("text", "x", None, 1)]),  # non-dense offsets
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = str(tmp_path / "docs_out")
+    SK.write_documents(docs, out, execution_type="testing", batch_rows=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.filter(F.col("execution_type") == "testing").count() == 4
+
+    summary, errors = SK.validate_documents(docs)
+    s = summary.collect()[0]
+    assert (s["n_docs"], s["missing_spans"], s["bad_kinds"], s["bad_offsets"]) == (4, 1, 1, 1)
+    assert {r["doc_id"] for r in errors.collect()} == {"d2", "d3", "d4"}
+
+
+def test_rest_forwarder_batches(spark):
+    from spider_spark.storage import sinks as SK
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", [("text", "t", None, 0)]) for i in range(25)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    ).coalesce(1)
+
+    import tempfile, json, os
+    log = tempfile.mkdtemp() + "/batches.jsonl"
+
+    def poster(batch):
+        with open(log, "a") as f:
+            f.write(json.dumps(len(batch)) + "\n")
+
+    SK.rest_forwarder(docs, poster=poster, batch_rows=10)
+    sizes = [json.loads(l) for l in open(log)]
+    assert sorted(sizes) == [5, 10, 10]
+    assert sum(sizes) == 25
+
+
+def test_rest_forwarder_stub_raises(spark):
+    from spider_spark.storage import sinks as SK
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    docs = spark.createDataFrame(
+        [("d1", [("text", "t", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    with _pytest.raises(Exception):
+        SK.rest_forwarder(docs)
