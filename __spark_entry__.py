@@ -757,7 +757,9 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         web_df(spark, spec),
         host_policy_df(spark, spec),
         store,
-        CrawlConfig(crawl_id="entry", n_buckets=8, max_waves=30),
+        # generous wave budget => fewer waves => fewer fixed-overhead
+        # Spark jobs in the driver's correctness pass
+        CrawlConfig(crawl_id="entry", n_buckets=8, max_waves=30, wave_seconds=4.0),
     )
     eng.run(seeds_df(spark, spec))
     docs = eng.documents()

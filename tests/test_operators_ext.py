@@ -425,3 +425,83 @@ def test_rest_forwarder_stub_raises(spark):
     )
     with _pytest.raises(Exception):
         SK.rest_forwarder(docs)
+
+
+# ---------------------------------------------------------------------------
+# fetch_http plumbing + HTML roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_fetch_http_with_injected_fetcher(spark):
+    """mapInPandas fetch backend: injected fetcher sees host-grouped
+    batches; politeness was applied upstream so it fetches freely."""
+    from spider_spark.sources.fetch import fetch_http
+
+    dispatch = spark.createDataFrame(
+        [(f"http://h{i % 3}.example/p{i}", f"h{i % 3}.example") for i in range(30)],
+        "canonical_url string, host string",
+    )
+
+    def fetcher(pdf):
+        pdf = pdf.copy()
+        pdf["status"] = 200
+        pdf["body"] = "<html>" + pdf["canonical_url"] + "</html>"
+        return pdf[["canonical_url", "host", "status", "body"]]
+
+    out = fetch_http(
+        dispatch, "canonical_url string, host string, status int, body string", fetcher
+    )
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r["status"] == 200 and r["canonical_url"] in r["body"] for r in rows)
+
+
+def test_fetch_http_stub_raises(spark):
+    from spider_spark.sources.fetch import fetch_http
+    dispatch = spark.createDataFrame([("http://h/x", "h")], "canonical_url string, host string")
+    out = fetch_http(dispatch, "canonical_url string, host string")
+    import pytest as _p
+    with _p.raises(Exception):
+        out.collect()
+
+
+def render_html(spans, links):
+    """Inverse of htmlparse for roundtrip testing: spans+links -> page."""
+    parts = ["<html><body>"]
+    for kind, text, ref, _off in spans:
+        if kind == "text":
+            parts.append(f"<p>{text}</p>")
+        else:
+            parts.append(f'<img src="{ref}"/>')
+    for href in links:
+        parts.append(f'<a href="{href}"></a>')  # empty anchor: no text span
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def test_html_render_parse_roundtrip(spark):
+    """spans -> html -> parse_page recovers the exact interleaved span
+    sequence (kind, text, media_ref, order) and link list — closing the
+    loop between the span docs and the HTML parse stage."""
+    from spider_spark.operators.htmlparse import parse_page
+    from spider_spark.synth import WebSpec, make_spans
+
+    spec = WebSpec(seed=3)
+    for doc_id in ["h.example/detail/d1", "h.example/detail/d2", "x.example/detail/d9"]:
+        spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in make_spans(spec, doc_id, doc_id.split("/")[0])
+        ]
+        # render_html drops dup-media spans' order info only if dups exist;
+        # parse keeps FIRST occurrence, so feed the deduped expectation
+        seen, expect = set(), []
+        for kind, text, ref, _ in spans:
+            if kind == "media":
+                if ref in seen:
+                    continue
+                seen.add(ref)
+            expect.append((kind, text, ref, len(expect)))
+        links = [f"/detail/x{i}" for i in range(3)]
+        got_links, got_spans = parse_page(render_html(spans, links))
+        assert got_links == links
+        assert got_spans == expect
