@@ -100,6 +100,40 @@ def bench_seen_set(spark, n_urls: int = 1_000_000):
     }
 
 
+def bench_crawl_loop(spark):
+    """Full engine loop (admit -> schedule -> fetch -> parse -> commit)
+    on a ~26k-page synthetic web, shallow pagination so BSP fixed costs
+    amortize into real per-wave work. Reports docs/sec."""
+    import tempfile
+
+    from spider_spark.plans.engine import CrawlConfig, CrawlEngine
+    from spider_spark.storage.catalog import SnapshotStore
+    from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
+
+    # breadth-shaped fleet crawl (many hosts, shallow pagination): the
+    # politeness budget (16/host/wave) then bounds the wave count, not
+    # the host count — the axis that actually grows at fleet scale
+    spec = WebSpec(
+        seed=42, n_hosts=500, pages_per_host=1, details_per_page=50, hot_host_factor=4
+    )
+    root = tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    eng = CrawlEngine(
+        spark,
+        web_df(spark, spec),
+        host_policy_df(spark, spec),
+        SnapshotStore(spark, root),
+        CrawlConfig(crawl_id="bench", n_buckets=64, wave_seconds=8.0, max_waves=12),
+    )
+    t0 = time.monotonic()
+    totals = eng.run(seeds_df(spark, spec))
+    dt = time.monotonic() - t0
+    return dt, {
+        "docs": totals["docs"],
+        "waves": totals["waves"],
+        "docs_per_sec": round(totals["docs"] / dt),
+    }
+
+
 def bench_frontier(spark, reps: int = 2):
     best, dispatched = None, 0
     for _ in range(reps):
@@ -210,9 +244,12 @@ def main():
 
     frontier_s, fstats = bench_frontier(spark)
     queries = {"frontier_wave": round(frontier_s, 3)}
+    crawl_stats = {}
     if not args.frontier_only:
         seen = bench_seen_set(spark)
         queries.update({k: v for k, v in seen.items() if not k.startswith("_")})
+        loop_s, crawl_stats = bench_crawl_loop(spark)
+        queries["crawl_loop"] = round(loop_s, 3)
         queries.update(bench_queries(spark, sf_dir))
 
     result = {
@@ -224,6 +261,7 @@ def main():
         "frontier_urls": fstats["urls"],
         "frontier_dispatched": fstats["dispatched"],
         "frontier_urls_per_sec": fstats["urls_per_sec"],
+        "crawl_loop": crawl_stats,
         "cpus": cpus,
     }
     print(json.dumps(result))
