@@ -505,3 +505,25 @@ def test_html_render_parse_roundtrip(spark):
         got_links, got_spans = parse_page(render_html(spans, links))
         assert got_links == links
         assert got_spans == expect
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """SRP-LSH approximate top-k must recover most true neighbors
+    (recall >= 0.6). The synthetic embeddings are near-orthogonal
+    (max pair cos ~0.5), so buckets must be coarse: 4 planes x 8 tables;
+    clustered real-world embeddings support finer buckets (more planes)
+    at the same recall."""
+    from spider_spark.operators import ann as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.lsh_bucketed_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"recall {recall:.2f}"
