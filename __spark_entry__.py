@@ -481,6 +481,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.simhash_bits(docs, n_bits=16)
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole block join + Hamming filter."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return TD.simhash_neardup_pairs(
+        docs, max_hamming=3, n_bits=16, prefix_blocks=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings / similarity search
 # ---------------------------------------------------------------------------
@@ -823,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
@@ -1208,6 +1217,46 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY p) AS simhash
             FROM bitsum GROUP BY doc_id
         """,
+        "simhash_neardup": """
+            WITH toks AS (
+                SELECT doc_id, md5(u.tok) AS h
+                FROM (SELECT doc_id, {toks} AS tl FROM documents
+                      WHERE doc_id % 5 = 0) d,
+                     LATERAL (SELECT unnest(tl) AS tok) u),
+            pos AS (
+                SELECT doc_id, h, p FROM toks, LATERAL (
+                    SELECT unnest(range(0, 16)) AS p) g),
+            bits AS (
+                SELECT doc_id, p,
+                       CASE WHEN (CAST(floor((strpos('0123456789abcdef',
+                            substring(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+                            / power(2.0, CAST(p % 4 AS INT))) AS INT) % 2) = 1
+                            THEN 1 ELSE -1 END AS c
+                FROM pos),
+            bitsum AS (
+                SELECT doc_id, p, sum(c) AS s FROM bits GROUP BY doc_id, p),
+            sig AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                                  ORDER BY p) AS sh
+                FROM bitsum GROUP BY doc_id),
+            blocks AS (
+                SELECT doc_id, sh, b.blk, substring(sh, b.blk * 4 + 1, 4) AS bv
+                FROM sig, LATERAL (SELECT unnest([0,1,2,3]) AS blk) b),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                       l.sh AS sa, r.sh AS sb
+                FROM blocks l JOIN blocks r
+                  ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id),
+            ham AS (
+                SELECT id_a, id_b,
+                       CAST(list_sum(list_transform(range(1, 17),
+                            i -> CASE WHEN substring(sa, CAST(i AS INT), 1)
+                                       <> substring(sb, CAST(i AS INT), 1)
+                                 THEN 1 ELSE 0 END)) AS INT) AS hamming
+                FROM cand)
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """.replace("{toks}", _TOKENS_SQL),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id % 100 = 0),
