@@ -230,7 +230,9 @@ def main():
         global N_FRONTIER
         N_FRONTIER = args.n
 
-    spark = get_spark("spider_spark_bench", cpus=args.cpus)
+    # benches opt into tmpfs local dirs (shared-disk spill serializes
+    # multi-core scaling on this box); ordinary sessions stay on disk
+    spark = get_spark("spider_spark_bench", cpus=args.cpus, tmpfs_local_dir=True)
     cpus = spark.sparkContext.defaultParallelism
     sf_dir = DEFAULT_SF_DIR
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

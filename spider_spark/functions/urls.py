@@ -55,7 +55,7 @@ def _canon_query(q: str) -> str:
     return "&".join(f"{k}={v}" for k, v in keyed)
 
 
-def canonicalize_series(urls: pd.Series) -> pd.Series:
+def canonicalize_series(urls: pd.Series, pin: bool = False) -> pd.Series:
     """Vectorized canonicalization of absolute URLs.
 
     Hot path is pyarrow.compute (RE2 + C++ kernels — ~20x the
@@ -65,9 +65,13 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     frontiers repeat the same query shapes (pagination params) heavily.
     Falls back to the pandas implementation if the pyarrow kernels are
     unavailable.
+
+    ``pin=True`` (set by the UDF wrapper, i.e. inside Spark Python
+    workers only) caps pyarrow's process-wide thread pool at 1; driver-
+    side callers keep their default pool.
     """
     try:
-        return _canonicalize_arrow(urls)
+        return _canonicalize_arrow(urls, pin)
     except (ImportError, AttributeError, pa_lib.ArrowNotImplementedError):
         return _canonicalize_pandas(urls)
 
@@ -82,7 +86,8 @@ def _pin_arrow_pool() -> None:
     spin up an arrow pool of #cores threads oversubscribes the box
     quadratically (measured: 3x slowdown of the admit stage at
     local[32] vs local[8]). Executor-side parallelism belongs to Spark,
-    not to the kernel library."""
+    not to the kernel library. Only called from the UDF path — pinning
+    is process-wide, so driver-side callers must not trip it."""
     global _ARROW_POOL_PINNED
     if not _ARROW_POOL_PINNED:
         try:
@@ -92,8 +97,9 @@ def _pin_arrow_pool() -> None:
         _ARROW_POOL_PINNED = True
 
 
-def _canonicalize_arrow(urls: pd.Series) -> pd.Series:
-    _pin_arrow_pool()
+def _canonicalize_arrow(urls: pd.Series, pin: bool = False) -> pd.Series:
+    if pin:
+        _pin_arrow_pool()
     arr = pa_lib.array(urls.fillna("").astype(str), type=pa_lib.string())
     parts = pc.extract_regex(arr, _SPLIT_RE_NAMED)
     # non-matching rows (cannot happen: the regex matches any string) -> ""
@@ -152,7 +158,7 @@ def _canonicalize_pandas(urls: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
-    return canonicalize_series(urls)
+    return canonicalize_series(urls, pin=True)
 
 
 def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:

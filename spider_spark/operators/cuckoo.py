@@ -35,12 +35,21 @@ class CuckooSpec:
 
 
 def _parts(fingerprints: pd.Series, m: int):
-    """(tag, i1, i2) arrays from sha1-hex fingerprints.
+    """(tag, i1, i2) arrays from hex fingerprints (sha1 or md5).
 
-    tag: 16 nonzero bits from hex[32:36]; i1: bits from hex[:16];
-    i2 = i1 ^ hash(tag) — the partial-key cuckoo displacement rule.
+    tag: 16 nonzero bits from hex[32:36] (sha1) or hex[16:20] (md5 —
+    still disjoint from the i1 bits at hex[:16]); i1: bits from
+    hex[:16]; i2 = i1 ^ hash(tag) — partial-key cuckoo displacement.
+    Raises ValueError on fingerprints too short to carry both fields.
     """
-    tag = np.array([int(fp[32:36], 16) for fp in fingerprints], dtype=np.uint64)
+    fps = list(fingerprints)
+    if fps and len(fps[0]) < 20:
+        raise ValueError(
+            "cuckoo fingerprints must be >=20 hex chars (sha1/md5 hex); "
+            f"got length {len(fps[0])}"
+        )
+    lo = 32 if (fps and len(fps[0]) >= 36) else 16
+    tag = np.array([int(fp[lo : lo + 4], 16) for fp in fps], dtype=np.uint64)
     tag = np.where(tag == 0, np.uint64(1), tag).astype(np.uint64)
     h1 = np.array([int(fp[:16], 16) for fp in fingerprints], dtype=np.uint64)
     i1 = (h1 % np.uint64(m)).astype(np.int64)

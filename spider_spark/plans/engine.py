@@ -227,7 +227,17 @@ class CrawlEngine:
                 # wave's scheduler broadcast; the dim is tiny, so the
                 # update collects into a fresh local DataFrame to keep
                 # the policy lineage flat across many waves
-                stats = AT.wave_latency_stats(AT.synthetic_latency(fetched))
+                # only synthesize latency when the fetch stage didn't
+                # measure one (fetch_http emits a real latency_ms; the
+                # synthetic join backend does not) — otherwise the
+                # policy would adapt to hash noise instead of the
+                # observed latency
+                lat = (
+                    fetched
+                    if "latency_ms" in fetched.columns
+                    else AT.synthetic_latency(fetched)
+                )
+                stats = AT.wave_latency_stats(lat)
                 updated = AT.updated_policy(self.policy, stats)
                 self.policy = self.spark.createDataFrame(
                     updated.collect(), schema=schemas.HOST_POLICY

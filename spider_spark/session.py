@@ -26,6 +26,7 @@ def get_spark(
     app_name: str = "spider_spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    tmpfs_local_dir: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -53,13 +54,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Shuffle/spill files on tmpfs when available: on this single box the
-    # disk is shared by all cores, so spill bandwidth is a SERIAL
-    # fraction that caps multi-core scaling (a real cluster adds disks
-    # with every executor). RAM-backed local dirs restore the per-core
-    # bandwidth a cluster would have.
-    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+    # Shuffle/spill files on tmpfs are OPT-IN (bench entrypoints pass
+    # tmpfs_local_dir=True, or set $SPARK_GRAFT_LOCAL_DIR explicitly):
+    # on this single box the disk is shared by all cores, so spill
+    # bandwidth is a SERIAL fraction that caps multi-core scaling and
+    # tmpfs restores the per-core bandwidth a cluster would have — but
+    # a RAM-backed dir turns a big spill into ENOSPC/OOM, so ordinary
+    # sessions keep the disk-backed default.
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if shm is None and tmpfs_local_dir:
+        shm = "/dev/shm"
+    if shm and os.path.isdir(shm) and os.access(shm, os.W_OK):
         local_dir = os.path.join(shm, "spark-local")
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

@@ -1,17 +1,24 @@
 """N-vs-4N scaling study (the sandbox stand-in for the north rule's
-two-cluster-size criterion): run the same frontier wave at local[8] and
-local[32] in separate JVMs, report throughput at both plus scaling
-efficiency = (T_N / T_4N) / 4, and write BENCH/BASELINE.md.
+two-cluster-size criterion): run the same frontier wave at two
+parallelism levels in separate JVMs, report throughput at both plus
+scaling efficiency = (T_N / T_4N) / (hi/lo), and write BENCH/BASELINE.md.
+
+Headline efficiency is the MEDIAN of >=3 interleaved runs per config
+(lo/hi/lo/hi/...) with the spread reported beside it — single runs on
+this shared box vary +-15% and a best-of pass is not robust to rerun.
 
 Usage: python tools/scale_bench.py [n_urls]
+Env: SCALE_LO / SCALE_HI (cores, default 4/16), SCALE_REPS (default 3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -22,85 +29,125 @@ def run_at(cpus: int, n: int) -> dict:
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--frontier-only",
          "--cpus", str(cpus), "--n", str(n)],
-        capture_output=True, text=True, timeout=1200, check=True,
+        capture_output=True, text=True, timeout=1800, check=True,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
+def cpu_probe(procs: int, spins: int = 40_000_000) -> float:
+    """Wall time for `procs` independent busy Python processes doing a
+    fixed spin each — measures the box's raw core scaling (SMT ceiling)
+    with zero Spark involvement. Re-measured per report so the numbers
+    in BASELINE.md always match the run they describe."""
+    code = f"i=0\nwhile i < {spins}: i += 1\n"
+    t0 = time.monotonic()
+    ps = [subprocess.Popen([sys.executable, "-c", code]) for _ in range(procs)]
+    for p in ps:
+        p.wait()
+    return time.monotonic() - t0
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     # N vs 4N within PHYSICAL cores: the box reports 32 CPUs but they are
-    # 16 physical cores + SMT — a raw CPU probe (32 independent busy
-    # processes vs 8) tops out at 2.5x/4x throughput, so an 8-vs-32
+    # 16 physical cores + SMT — the raw CPU probe below shows 32 busy
+    # processes deliver well under 4x the throughput of 8, so an 8-vs-32
     # comparison measures hyperthreading, not the engine. 4 vs 16 stays
     # on real cores; a real cluster scales executors, not SMT siblings.
     lo, hi = int(os.environ.get("SCALE_LO", 4)), int(os.environ.get("SCALE_HI", 16))
-    r_lo = run_at(lo, n)
-    r_hi = run_at(hi, n)
-    t_lo = r_lo["queries"]["frontier_wave"]
-    t_hi = r_hi["queries"]["frontier_wave"]
+    reps = max(1, int(os.environ.get("SCALE_REPS", 3)))
+
+    probe1 = cpu_probe(1)
+    probe8 = cpu_probe(8)
+    probe32 = cpu_probe(32)
+
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):  # interleave lo/hi so box drift hits both equally
+        runs_lo.append(run_at(lo, n))
+        runs_hi.append(run_at(hi, n))
+    t_lo_all = sorted(r["queries"]["frontier_wave"] for r in runs_lo)
+    t_hi_all = sorted(r["queries"]["frontier_wave"] for r in runs_hi)
+    t_lo = statistics.median(t_lo_all)
+    t_hi = statistics.median(t_hi_all)
+    eff_all = sorted(
+        (a / b) / (hi / lo)
+        for a, b in zip(
+            sorted(r["queries"]["frontier_wave"] for r in runs_lo),
+            sorted((r["queries"]["frontier_wave"] for r in runs_hi), reverse=True),
+        )
+    )
     eff = (t_lo / t_hi) / (hi / lo)
     result = {
         "n_urls": n,
         "cores_lo": lo,
         "cores_hi": hi,
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "urls_per_sec_lo": r_lo["frontier_urls_per_sec"],
-        "urls_per_sec_hi": r_hi["frontier_urls_per_sec"],
+        "reps": reps,
+        "sec_lo_median": round(t_lo, 3),
+        "sec_hi_median": round(t_hi, 3),
+        "sec_lo_all": t_lo_all,
+        "sec_hi_all": t_hi_all,
+        "urls_per_sec_lo": round(n / t_lo),
+        "urls_per_sec_hi": round(n / t_hi),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_worst_pairing": round(eff_all[0], 3),
+        "scaling_efficiency_best_pairing": round(eff_all[-1], 3),
+        "cpu_probe_s": {"1": round(probe1, 2), "8": round(probe8, 2), "32": round(probe32, 2)},
     }
     print(json.dumps(result))
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    lo_list = ", ".join(f"{t:.1f}" for t in t_lo_all)
+    hi_list = ", ".join(f"{t:.1f}" for t in t_hi_all)
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH baseline — measured ({stamp})
 
 Frontier wave = canonicalize (Arrow UDF) -> fingerprint (JVM sha1) ->
 intra-batch dedup (keep-first window) -> politeness salted top-k, over a
-{n:,}-URL synthetic frontier ({r_lo.get('frontier_urls', n):,} rows,
-2,000 hosts, 20% duplicate URLs, 5% hot-host skew) generated lazily
-from column expressions (`spider_spark.synth.gen_frontier_df`).
+{n:,}-URL synthetic frontier (2,000 hosts, 20% duplicate URLs, 5%
+hot-host skew) generated lazily from column expressions
+(`spider_spark.synth.gen_frontier_df`).
 
-Two-parallelism scaling (sandbox stand-in for N vs 4N executors,
-per the driver instruction — same input, same job, separate JVMs):
+Two-parallelism scaling (sandbox stand-in for N vs 4N executors, per
+the driver instruction — same input, same job, separate JVMs).
+**Median of {reps} interleaved runs per config**; all runs listed so
+the spread is visible:
 
-| parallelism | wall (s) | URLs/s |
-|---|---|---|
-| local[{lo}]  (N)  | {t_lo} | {r_lo['frontier_urls_per_sec']:,} |
-| local[{hi}] (4N) | {t_hi} | {r_hi['frontier_urls_per_sec']:,} |
+| parallelism | wall (s), median | all runs (s) | URLs/s (median) |
+|---|---|---|---|
+| local[{lo}]  (N)  | {t_lo:.1f} | {lo_list} | {result['urls_per_sec_lo']:,} |
+| local[{hi}] (4N) | {t_hi:.1f} | {hi_list} | {result['urls_per_sec_hi']:,} |
 
-**Scaling efficiency (T_N / T_4N) / 4 = {result['scaling_efficiency']}**
-(north-rule target >= 0.8).
+**Scaling efficiency (median_N / median_4N) / 4 = {result['scaling_efficiency']}**
+(north-rule target >= 0.8). Pairing the sorted run lists
+best-vs-worst bounds the efficiency estimate to
+[{result['scaling_efficiency_worst_pairing']}, {result['scaling_efficiency_best_pairing']}].
 
 ## What bounds efficiency on this box (and why a cluster does better)
 
 The study runs on ONE machine whose 32 reported CPUs are 16 physical
-cores + SMT, with all cores sharing one memory system. Two hardware
-ceilings measured independently of Spark:
+cores + SMT, with all cores sharing one memory system. Hardware
+ceilings measured fresh for THIS report, independent of Spark:
 
 - **Raw CPU probe** (N independent busy Python processes, fixed work
-  each): 1 proc 2.04 s, 8 procs 2.02 s (perfect), 32 procs 3.23 s —
-  i.e. 32 workers deliver only ~2.5x the throughput of 8. An 8-vs-32
-  comparison therefore measures hyperthreading, not the engine; the
-  study uses physical cores only.
+  each): 1 proc {probe1:.2f} s, 8 procs {probe8:.2f} s, 32 procs
+  {probe32:.2f} s — i.e. 32 workers deliver only ~{4 * probe8 / probe32:.1f}x the
+  throughput of 8 (linear would be 4x). An 8-vs-32 comparison
+  therefore measures hyperthreading, not the engine; the study uses
+  physical cores only ({lo} vs {hi}).
 - **Memory bandwidth**: the wave streams ~60 B URL strings through
   codegen -> Arrow -> shuffle -> sort -> cache (tens of GB of traffic
-  per run). Moving shuffle dirs to tmpfs changed nothing (0.72 -> 0.58
-  within noise), and the serial-fraction fit grows linearly with rows —
-  the signature of a shared-bandwidth cap, not of a serial stage in the
-  plan.
+  per run); all cores share one memory system, so the serial fraction
+  grows with rows — the signature of a shared-bandwidth cap, not of a
+  serial stage in the plan.
 
-Repeated runs across sizes/levels: 16M@4v16 -> 0.63, 48M@4v16 -> 0.72,
-24M@2v8 -> 0.67 (run-to-run noise +-15% on this shared box). A real
-deployment (`spark-submit --py-files` on multi-executor clusters, the
-north-rule shape) adds memory channels and NICs with every executor —
-exactly the resource this box cannot scale; the plan itself has no
-serial stage (every shuffle key is uniform: `fingerprint` for dedup,
-salted `(host, salt)` for scheduling; plan-shape guards in
-`tests/test_plans.py`).
+A real deployment (`spark-submit --py-files` on multi-executor
+clusters, the north-rule shape) adds memory channels and NICs with
+every executor — exactly the resource this box cannot scale; the plan
+itself has no serial stage (every shuffle key is uniform:
+`fingerprint` for dedup, salted `(host, salt)` for scheduling;
+plan-shape guards in `tests/test_plans.py`).
 
 Other notes
 - At 10^10 URLs the same plan shape holds: no single partition exceeds
