@@ -317,6 +317,143 @@ def q_format_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+#: month-name pool for q_extract_date (forms that the reference's
+#: quirky loop actually resolves — see normalize.extract_date docstring)
+_ED_POOL = [
+    "Oktober", "März", "September", "December", "March", "October",
+    "August", "Mai", "Juli", "Dezember", "November", "April",
+]
+#: multi-locale month words for q_date_multilocale (en/es/fr/nl/tr)
+_ML_POOL = [
+    "march", "agosto", "août", "mei", "ocak", "december",
+    "julio", "février", "kasım", "june", "maart", "mayıs",
+]
+_ML_TODAY = "2021-06-15"
+
+
+def _date_parts():
+    eid = F.col("event_id")
+    return {
+        "d": (eid % 27 + 1).cast("string"),
+        "dd": F.lpad((eid % 27 + 1).cast("string"), 2, "0"),
+        "mnum": (eid % 12 + 1).cast("string"),
+        "mm": F.lpad((eid % 12 + 1).cast("string"), 2, "0"),
+        "yyyy": (eid % 4 + 2020).cast("string"),
+    }
+
+
+def q_extract_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_date German/English month-name mapping (helper.py:206-266),
+    incl. the 'januar'-beats-raw and raw-beats-other-months precedence."""
+    ev = _t(spark, sf_dir, "events")
+    p = _date_parts()
+    mname = F.element_at(
+        F.array(*[F.lit(x) for x in _ED_POOL]), (F.col("event_id") % 12 + 1).cast("int")
+    )
+    form = F.col("event_id") % 8
+    raw = (
+        F.when(form == 0, F.concat(F.lit("Frei ab "), p["dd"], F.lit("."), p["mm"], F.lit("."), p["yyyy"]))
+        .when(form == 1, F.concat(F.lit("ab "), mname, F.lit(" "), p["yyyy"]))
+        .when(form == 2, F.concat(p["d"], F.lit("."), p["mnum"], F.lit("."), p["yyyy"]))
+        .when(form == 3, F.concat(p["mm"], F.lit("."), p["yyyy"]))
+        .when(form == 4, F.lit("soon"))
+        .when(form == 5, F.concat(F.lit("1. Januar "), p["yyyy"]))
+        .when(form == 6, F.concat(F.lit("mai 15.03."), p["yyyy"]))
+        .otherwise(F.concat(p["dd"], F.lit("/"), p["mm"], F.lit("/"), p["yyyy"]))
+    )
+    # stage raw as a real projection: extract_date references its input
+    # ~200 times across the month when-chain, and inlining the CASE that
+    # builds raw into every reference blows the codegen method limit
+    # (measured 11.6s -> interpreted fallback); staged, the chain refers
+    # to a plain column (see the HOF-recompute guard in test_plans.py)
+    staged = ev.select(F.col("event_id").alias("eid"), raw.alias("raw"))
+    return staged.select(
+        "eid", "raw", N.extract_date(F.col("raw")).alias("avail_date")
+    )
+
+
+def q_date_multilocale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dateparser-analog multi-locale parse + future-shift rule
+    (helper.py:593-605), today injected for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    d = (eid % 28 + 1).cast("string")
+    dd = F.lpad(d, 2, "0")
+    mnum = (eid % 12 + 1).cast("string")
+    mm = F.lpad(mnum, 2, "0")
+    yyyy = (eid % 4 + 2020).cast("string")
+    w = F.element_at(F.array(*[F.lit(x) for x in _ML_POOL]), (eid % 12 + 1).cast("int"))
+    form = eid % 7
+    raw = (
+        F.when(form == 0, F.concat(d, F.lit("/"), mnum, F.lit("/"), yyyy))
+        .when(form == 1, F.concat(dd, F.lit("-"), mm, F.lit("-"), yyyy))
+        .when(form == 2, F.concat(d, F.lit(" "), w, F.lit(" "), yyyy))
+        .when(form == 3, F.concat(w, F.lit(" "), d, F.lit(", "), yyyy))
+        .when(form == 4, F.concat(d, F.lit("."), mnum, F.lit("."), yyyy))
+        .when(form == 5, F.lit("available soon"))
+        .otherwise(F.concat(F.lit("29/02/"), yyyy))
+    )
+    staged = ev.select(eid.alias("eid"), raw.alias("raw"))
+    return staged.select(
+        "eid", "raw", N.multilocale_available_date(F.col("raw"), _ML_TODAY).alias("avail_date")
+    )
+
+
+def q_rent_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_rent_currency unit (helper.py:309-323) + the framework
+    pipeline's stored rent incl. its fractional double-parse quirk
+    (pipelines.py:153-159)."""
+    ev = _t(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    k = (eid % 29 + 1).cast("string")
+    p3 = F.lpad((uid % 1000).cast("string"), 3, "0")
+    frac = F.element_at(
+        F.array(F.lit("00"), F.lit("25"), F.lit("50"), F.lit("75")),
+        (eid % 4 + 1).cast("int"),
+    )
+    sym = F.element_at(
+        F.array(*[F.lit(x) for x in ["€", "£", "$", "TL ", "CHF ", "QAR ", ""]]),
+        (eid % 7 + 1).cast("int"),
+    )
+    raw = F.concat(sym, k, F.lit("."), p3, F.lit(","), frac, F.lit(" warm"))
+    src = F.when(uid % 2 == 0, F.lit("rent_australia_com")).otherwise(F.lit("rent_us_com"))
+    rent, currency = N.extract_rent_currency(raw, src, ".", ",")
+    stored = N.rent_string_pipeline_rent(raw, ".", ",")
+    return ev.select(
+        eid.alias("eid"),
+        F.round(rent, 4).alias("rent"),
+        F.round(stored, 4).alias("rent_stored"),
+        currency.alias("currency"),
+    )
+
+
+def q_utilities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_utilities: 6 chars after the LAST currency symbol
+    (helper.py:492-498), then the pipeline's numeric coercion
+    (pipelines.py:166-167)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    u = (eid % 300 + 50).cast("string")
+    frac = F.element_at(
+        F.array(F.lit("25"), F.lit("50"), F.lit("75"), F.lit("00")),
+        (eid % 4 + 1).cast("int"),
+    )
+    desc = F.when(
+        eid % 5 == 0, F.concat(F.lit("no symbol here, rent "), u, F.lit(" monthly"))
+    ).otherwise(
+        F.concat(
+            F.lit("rent € "), (eid % 90 + 1).cast("string"),
+            F.lit(" plus utilities € "), u, F.lit(","), frac, F.lit(" monthly"),
+        )
+    )
+    raw_util = N.extract_utilities("€", desc)
+    return ev.select(
+        eid.alias("eid"),
+        raw_util.alias("utilities_raw"),
+        N.convert_string_to_numeric(raw_util, ".", ",").alias("utilities"),
+    )
+
+
 def q_sq_feet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sq_feet_to_meters int(feet/10.764) + weekly→monthly rent*4
     (helper.py:36-44,649-651)."""
@@ -520,16 +657,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with rounded cosine >= 0.35 (embedding near-dup; the
-    synthetic embeddings top out near 0.51 pairwise cosine)."""
+    """Embedding near-dup via the BUCKETED scale path (sign-LSH banded
+    equi-join -> id-pair dedup -> exact cosine >= 0.35); the oracle runs
+    the identical bucketing, and pytest separately verifies recall vs
+    brute force. Rounded cosine so ULP noise can't flip the threshold."""
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(ANN.cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cos") >= 0.35)
-        .select("id_a", "id_b", "cos")
+    # single 4dp rounding (threshold applied on the ROUNDED value) so
+    # the driver's 4dp float hashing can't disagree with the oracle
+    return ANN.embedding_neardup_pairs(
+        emb, threshold=0.35, mode="bucketed", n_planes=4, n_tables=4, round_dp=4
     )
 
 
@@ -577,6 +713,107 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # JSON source / ItemClear / AutoThrottle / HTML parse / fetch rates
 # ---------------------------------------------------------------------------
+
+
+def q_js_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-literal extraction (js2xml analog, SURVEY.md §2.3): key:value
+    literals out of a deterministic script blob, exploded to rows."""
+    docs = _t(spark, sf_dir, "documents")
+    script = F.concat(
+        F.lit('var cfg = {lat: 45.'), (F.col("doc_id") % 1000).cast("string"),
+        F.lit(", lng: '8."), (F.col("doc_id") % 97).cast("string"),
+        F.lit("', zoom: 12, city: \"c"), (F.col("doc_id") % 40).cast("string"),
+        F.lit('"};'),
+    )
+    keys, vals = N.js_literal_pairs(script)
+    pairs = docs.select(
+        "doc_id", F.posexplode(F.arrays_zip(keys.alias("k"), vals.alias("v"))).alias("pos", "p")
+    )
+    return pairs.select(
+        "doc_id", "pos", F.col("p.k").alias("key"), F.col("p.v").alias("value")
+    )
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media rows from documents: content bytes derived
+    from doc_id so the DuckDB oracle can recompute the sha256-based
+    fake-decode dimensions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("media/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.concat(F.lit("blob-"), F.col("doc_id").cast("string")), "utf-8").alias(
+            "content"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video")).otherwise(F.lit("image")).alias(
+            "media_type"
+        ),
+        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (operators/media.py): binary column ->
+    mapInPandas decode -> typed metadata. The decode core is the
+    documented deterministic stand-in (sha256-derived dimensions) —
+    the oracle recomputes the same bytes in SQL, so the whole Arrow
+    path (schema, batching, repartition) is value-checked."""
+    from spider_spark.operators.media import decode_media
+
+    return decode_media(_media_table(spark, sf_dir)).select(
+        "media_ref", "media_type", "width", "height", "n_frames", "ok"
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample plan (operators/media.py:sample_frames): one row per
+    kept frame index, every 24th frame of each decoded video."""
+    from spider_spark.operators.media import decode_media, sample_frames
+
+    decoded = decode_media(_media_table(spark, sf_dir))
+    return sample_frames(decoded, every_n=24)
+
+
+_MEDIA_DECODE_SQL = """
+    WITH m AS (
+        SELECT 'media/' || doc_id AS media_ref,
+               CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+               sha256('blob-' || doc_id) AS h
+        FROM documents),
+    b AS (
+        SELECT media_ref, media_type,
+               (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) AS b0,
+               (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS b1,
+               (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1) AS b2
+        FROM m)
+    SELECT media_ref, media_type,
+           CAST(64 + b0 * 8 AS INT) AS width,
+           CAST(64 + b1 * 8 AS INT) AS height,
+           CAST(CASE WHEN media_type = 'image' THEN 1
+                ELSE 1 + b2 % 240 END AS INT) AS n_frames,
+           true AS ok
+    FROM b
+"""
+
+
+def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap source (SURVEY.md §2.1, athimmo_be.py:18-26): <loc>
+    extraction from deterministic sitemap XML, order-preserving."""
+    from spider_spark.sources.sitemap import extract_sitemap_locs
+
+    docs = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>http://s.example/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url><url><loc> http://s.example/page/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" </loc></url></urlset>"),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(extract_sitemap_locs(xml)).alias("pos", "loc")
+    )
 
 
 def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -749,9 +986,11 @@ def q_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full crawl engine on the deterministic synthetic web (3 hosts, 2
-    waves of listings): documents exploded to span rows. Non-SQL (the
-    iterative wave loop has no single-query SQL equivalent) — the
-    pytest golden model is its oracle."""
+    waves of listings): documents exploded to span rows. The iterative
+    wave loop has no single-query SQL form, so its oracle is a
+    GOLDEN-FILE parquet of the pure-Python golden model's expected rows
+    (tools/gen_crawl_oracle.py; freshness pinned by
+    tests/test_engine.py::test_crawl_oracle_fixture_is_fresh)."""
     import tempfile
 
     from spider_spark.plans.engine import CrawlConfig, CrawlEngine
@@ -815,6 +1054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "currency_parser": q_currency_parser,
         "energy_label": q_energy_label,
         "format_date": q_format_date,
+        "extract_date": q_extract_date,
+        "date_multilocale": q_date_multilocale,
+        "rent_currency": q_rent_currency,
+        "utilities": q_utilities,
         "sq_feet": q_sq_feet,
         "rent_sanity": q_rent_sanity,
         "amenities": q_amenities,
@@ -836,6 +1079,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "js_literals": q_js_literals,
+        "media_decode": q_media_decode,
+        "media_frames": q_media_frames,
+        "sitemap_locs": q_sitemap_locs,
         "json_source": q_json_source,
         "itemclear": q_itemclear,
         "autothrottle": q_autothrottle,
@@ -870,6 +1117,162 @@ _SHINGLES_SQL = (
     "list_transform(range(1, greatest(len(toks) - {nm1}, 0) + 1),"
     " i -> array_to_string(toks[i:i+{nm1}], ' '))"
 )
+
+
+_ED_RAW_SQL = """
+    CASE event_id % 8
+         WHEN 0 THEN 'Frei ab ' || lpad(CAST(event_id % 27 + 1 AS VARCHAR), 2, '0')
+              || '.' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+              || '.' || (event_id % 4 + 2020)
+         WHEN 1 THEN 'ab ' || (['Oktober','März','September','December','March',
+              'October','August','Mai','Juli','Dezember','November','April'])
+              [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 4 + 2020)
+         WHEN 2 THEN (event_id % 27 + 1) || '.' || (event_id % 12 + 1)
+              || '.' || (event_id % 4 + 2020)
+         WHEN 3 THEN lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+              || '.' || (event_id % 4 + 2020)
+         WHEN 4 THEN 'soon'
+         WHEN 5 THEN '1. Januar ' || (event_id % 4 + 2020)
+         WHEN 6 THEN 'mai 15.03.' || (event_id % 4 + 2020)
+         ELSE lpad(CAST(event_id % 27 + 1 AS VARCHAR), 2, '0')
+              || '/' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+              || '/' || (event_id % 4 + 2020)
+    END
+"""
+
+
+def _extract_date_oracle() -> str:
+    """DuckDB twin of normalize.extract_date, generated from the same
+    month tables so both engines share one source of truth — same
+    shape too: first-contained month via list_filter, one replace."""
+    from spider_spark.functions.normalize import ENGLISH_MONTHS, GERMAN_MONTHS
+
+    months = GERMAN_MONTHS + ENGLISH_MONTHS
+    first_name = months[0][0]
+    mlist = "[" + ",".join(f"'{m}'" for m, _ in months) + "]"
+    numcase = (
+        "CASE chosen "
+        + " ".join(f"WHEN '{m}' THEN '{n}'" for m, n in dict(months).items())
+        + " END"
+    )
+    return f"""
+        WITH t AS (SELECT event_id AS eid, {_ED_RAW_SQL} AS raw FROM events),
+        n AS (SELECT eid, raw,
+                     replace(replace(lower(raw), ' ', ''), '/', '.') AS d FROM t),
+        ch AS (SELECT eid, raw, d,
+                      (list_filter({mlist}, m -> contains(d, m)))[1] AS chosen FROM n),
+        sel AS (SELECT eid, raw,
+                       CASE WHEN chosen = '{first_name}'
+                            THEN replace(d, chosen, {numcase} || '.')
+                            WHEN regexp_extract(d, '(\\d+\\.*\\d+\\.\\d*)', 1) <> ''
+                            THEN d
+                            WHEN chosen IS NOT NULL
+                            THEN replace(d, chosen, {numcase} || '.')
+                            ELSE NULL END AS s FROM ch),
+        e AS (SELECT eid, raw,
+                     regexp_extract(s, '(\\d+\\.*\\d+\\.\\d*)', 1) AS ext FROM sel),
+        a AS (SELECT eid, raw, ext, replace(ext, '.', '/') AS avail FROM e),
+        c AS (SELECT eid, raw, ext, avail,
+                     length(avail) - length(replace(avail, '/', '')) AS ns FROM a)
+        SELECT eid, raw,
+               CASE WHEN ext IS NULL OR ext = '' THEN NULL
+                    WHEN ns = 2 THEN
+                        CASE WHEN regexp_matches(avail, '^\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}$')
+                             THEN coalesce(strftime(try_strptime(avail, '%-d/%-m/%Y'),
+                                                    '%Y-%m-%d'), avail)
+                             ELSE avail END
+                    WHEN ns = 1 THEN
+                        CASE WHEN regexp_matches(avail, '^\\d{{1,2}}/\\d{{4}}$')
+                             THEN strftime(try_strptime(avail, '%-m/%Y'), '%Y-%m')
+                             ELSE NULL END
+                    ELSE NULL END AS avail_date
+        FROM c
+    """
+
+
+def _ml_oracle() -> str:
+    """DuckDB twin of normalize.multilocale_available_date, month map
+    generated from MULTILOCALE_MONTHS."""
+    from spider_spark.functions.normalize import MULTILOCALE_MONTHS
+
+    def mcase(w: str) -> str:
+        whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(MULTILOCALE_MONTHS.items()))
+        return f"CASE {w} {whens} ELSE NULL END"
+
+    nxt = int(_ML_TODAY[:4]) + 1
+    num_re = "'^(\\d{1,2})[./-](\\d{1,2})[./-](\\d{4})$'"
+    dmy_re = "'^(\\d{1,2})(?:st|nd|rd|th)?\\.?\\s+([^\\s\\d.,]+)\\.?,?\\s+(\\d{4})$'"
+    mdy_re = "'^([^\\s\\d.,]+)\\.?\\s+(\\d{1,2})(?:st|nd|rd|th)?\\s*,?\\s*(\\d{4})$'"
+    return f"""
+        WITH t AS (
+            SELECT event_id AS eid,
+                   CASE event_id % 7
+                        WHEN 0 THEN (event_id % 28 + 1) || '/' || (event_id % 12 + 1)
+                             || '/' || (event_id % 4 + 2020)
+                        WHEN 1 THEN lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')
+                             || '-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+                             || '-' || (event_id % 4 + 2020)
+                        WHEN 2 THEN (event_id % 28 + 1) || ' ' ||
+                             (['march','agosto','août','mei','ocak','december','julio',
+                               'février','kasım','june','maart','mayıs'])
+                             [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 4 + 2020)
+                        WHEN 3 THEN (['march','agosto','août','mei','ocak','december',
+                               'julio','février','kasım','june','maart','mayıs'])
+                             [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 28 + 1)
+                             || ', ' || (event_id % 4 + 2020)
+                        WHEN 4 THEN (event_id % 28 + 1) || '.' || (event_id % 12 + 1)
+                             || '.' || (event_id % 4 + 2020)
+                        WHEN 5 THEN 'available soon'
+                        ELSE '29/02/' || (event_id % 4 + 2020)
+                   END AS raw
+            FROM events),
+        n AS (SELECT eid, raw,
+                     trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS s FROM t),
+        g AS (SELECT eid, raw,
+                     regexp_extract(s, {num_re}, 1) AS n_d,
+                     regexp_extract(s, {num_re}, 2) AS n_m,
+                     regexp_extract(s, {num_re}, 3) AS n_y,
+                     regexp_extract(s, {dmy_re}, 1) AS a_d,
+                     regexp_extract(s, {dmy_re}, 2) AS a_w,
+                     regexp_extract(s, {dmy_re}, 3) AS a_y,
+                     regexp_extract(s, {mdy_re}, 1) AS b_w,
+                     regexp_extract(s, {mdy_re}, 2) AS b_d,
+                     regexp_extract(s, {mdy_re}, 3) AS b_y
+              FROM n),
+        p AS (SELECT eid, raw, coalesce(
+                 CASE WHEN n_y <> '' THEN CAST(try_strptime(n_y || '-' || lpad(n_m, 2, '0')
+                      || '-' || lpad(n_d, 2, '0'), '%Y-%m-%d') AS DATE) END,
+                 CASE WHEN a_y <> '' THEN CAST(try_strptime(a_y || '-'
+                      || lpad(CAST({mcase('a_w')} AS VARCHAR), 2, '0')
+                      || '-' || lpad(a_d, 2, '0'), '%Y-%m-%d') AS DATE) END,
+                 CASE WHEN b_y <> '' THEN CAST(try_strptime(b_y || '-'
+                      || lpad(CAST({mcase('b_w')} AS VARCHAR), 2, '0')
+                      || '-' || lpad(b_d, 2, '0'), '%Y-%m-%d') AS DATE) END) AS parsed
+              FROM g),
+        sh AS (SELECT eid, raw,
+                      CASE WHEN parsed < DATE '{_ML_TODAY}'
+                           THEN CAST(try_strptime('{nxt}-'
+                                || lpad(CAST(month(parsed) AS VARCHAR), 2, '0') || '-'
+                                || lpad(CAST(day(parsed) AS VARCHAR), 2, '0'),
+                                '%Y-%m-%d') AS DATE)
+                           ELSE parsed END AS p2
+               FROM p)
+        SELECT eid, raw, strftime(p2, '%Y-%m-%d') AS avail_date FROM sh
+    """
+
+
+_CURRENCY_CASE_SQL = """
+    CASE WHEN contains(raw, '€') THEN 'EUR'
+         WHEN contains(raw, '£') THEN 'GBP'
+         WHEN contains(raw, '$') AND contains(src, 'australia') THEN 'AUD'
+         WHEN contains(raw, '$') THEN 'USD'
+         WHEN contains(raw, 'TL') OR contains(raw, 'TRY')
+              OR contains(raw, '₺') THEN 'TRY'
+         WHEN contains(raw, 'CHF') THEN 'CHF'
+         WHEN contains(raw, 'QAR') THEN 'QAR'
+         WHEN contains(raw, 'EUR') THEN 'EUR'
+         ELSE NULL END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1024,6 +1427,64 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(strftime(try_strptime(ds, '%-d/%-m/%Y'), '%Y-%m-%d'), ds)
                        AS avail
             FROM t
+        """,
+        "extract_date": _extract_date_oracle(),
+        "date_multilocale": _ml_oracle(),
+        "rent_currency": f"""
+            WITH t AS (
+                SELECT event_id AS eid,
+                       (['€','£','$','TL ','CHF ','QAR ',''])
+                           [CAST(event_id % 7 AS INT) + 1]
+                       || (event_id % 29 + 1) || '.'
+                       || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0')
+                       || ',' || (['00','25','50','75'])[CAST(event_id % 4 AS INT) + 1]
+                       || ' warm' AS raw,
+                       CASE WHEN user_id % 2 = 0 THEN 'rent_australia_com'
+                            ELSE 'rent_us_com' END AS src
+                FROM events),
+            p AS (SELECT eid, raw, src,
+                         regexp_extract(replace(replace(raw, '.', ''), ',', '.'),
+                                        '(\\d+(?:\\.\\d+)?)', 1) AS numstr FROM t),
+            r AS (SELECT eid, raw, src,
+                         try_cast(CASE WHEN numstr = '' THEN '0' ELSE numstr END
+                                  AS DOUBLE) AS rent FROM p),
+            s AS (SELECT eid, raw, src, rent,
+                         CASE WHEN rent = floor(rent)
+                              THEN CAST(CAST(floor(rent) AS BIGINT) AS VARCHAR)
+                              ELSE CAST(rent AS VARCHAR) END AS sr FROM r),
+            s2 AS (SELECT eid, raw, src, rent,
+                          regexp_extract(replace(replace(sr, '.', ''), ',', '.'),
+                                         '(\\d+(?:\\.\\d+)?)', 1) AS num2 FROM s)
+            SELECT eid, round(rent, 4) AS rent,
+                   round(try_cast(CASE WHEN num2 = '' THEN '0' ELSE num2 END
+                                  AS DOUBLE), 4) AS rent_stored,
+                   {_CURRENCY_CASE_SQL} AS currency
+            FROM s2
+        """,
+        "utilities": """
+            WITH t AS (
+                SELECT event_id AS eid,
+                       CASE WHEN event_id % 5 = 0
+                            THEN 'no symbol here, rent ' || (event_id % 300 + 50)
+                                 || ' monthly'
+                            ELSE 'rent € ' || (event_id % 90 + 1)
+                                 || ' plus utilities € ' || (event_id % 300 + 50)
+                                 || ',' || (['25','50','75','00'])
+                                     [CAST(event_id % 4 AS INT) + 1]
+                                 || ' monthly' END AS descr
+                FROM events),
+            u AS (SELECT eid,
+                         CASE WHEN contains(descr, '€')
+                              THEN substring(reverse(split_part(reverse(descr),
+                                   '€', 1)), 1, 6) END AS utilities_raw FROM t),
+            n AS (SELECT eid, utilities_raw,
+                         regexp_extract(replace(replace(utilities_raw, '.', ''),
+                              ',', '.'), '(\\d+(?:\\.\\d+)?)', 1) AS numstr FROM u)
+            SELECT eid, utilities_raw,
+                   CASE WHEN utilities_raw IS NULL THEN NULL
+                        ELSE try_cast(CASE WHEN numstr = '' THEN '0' ELSE numstr END
+                                      AS DOUBLE) END AS utilities
+            FROM n
         """,
         "sq_feet": """
             SELECT DISTINCT l_orderkey AS okey,
@@ -1275,20 +1736,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
         """,
         "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(
-                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.35
+            WITH b AS (
+                SELECT vec_id, t.tbl,
+                       (CASE WHEN embedding[t.tbl * 4 + 1] > 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[t.tbl * 4 + 2] > 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[t.tbl * 4 + 3] > 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[t.tbl * 4 + 4] > 0 THEN 8 ELSE 0 END)
+                           AS bucket
+                FROM embeddings, LATERAL (SELECT unnest([0,1,2,3]) AS tbl) t),
+            cand AS (
+                SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                                  AND l.vec_id < r.vec_id),
+            scored AS (
+                SELECT id_a, id_b,
+                       round(list_cosine_similarity(
+                           list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4)
+                           AS cos
+                FROM cand
+                JOIN embeddings a ON a.vec_id = id_a
+                JOIN embeddings b ON b.vec_id = id_b)
+            SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "js_literals": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       'var cfg = {lat: 45.' || (doc_id % 1000)
+                       || ', lng: ''8.' || (doc_id % 97)
+                       || ''', zoom: 12, city: "c' || (doc_id % 40) || '"};' AS js
+                FROM documents),
+            e AS (
+                SELECT doc_id,
+                       regexp_extract_all(js,
+                           '([A-Za-z_$][A-Za-z0-9_$]*)\s*:\s*(''[^'']*''|"[^"]*"|-?\d+(?:\.\d+)?)',
+                           1) AS ks,
+                       regexp_extract_all(js,
+                           '([A-Za-z_$][A-Za-z0-9_$]*)\s*:\s*(''[^'']*''|"[^"]*"|-?\d+(?:\.\d+)?)',
+                           2) AS vs
+                FROM s)
+            SELECT doc_id, CAST(u.o - 1 AS INT) AS pos, u.k AS key,
+                   regexp_replace(regexp_replace(u.v, '^[''"]', ''), '[''"]$', '')
+                       AS value
+            FROM e, LATERAL (SELECT unnest(ks) AS k, unnest(vs) AS v,
+                                    generate_subscripts(ks, 1) AS o) u
+        """,
+        "media_decode": _MEDIA_DECODE_SQL,
+        "media_frames": f"""
+            WITH d AS ({_MEDIA_DECODE_SQL})
+            SELECT media_ref, CAST(u.f AS INT) AS frame_idx
+            FROM d, LATERAL (SELECT unnest(generate_series(0,
+                 greatest(n_frames - 1, 0), 24)) AS f) u
+            WHERE media_type = 'video' AND ok
+        """,
+        "sitemap_locs": """
+            WITH x AS (
+                SELECT doc_id,
+                       '<?xml version="1.0"?><urlset><url><loc>http://s.example/d/'
+                       || doc_id || '</loc></url><url><loc> http://s.example/page/'
+                       || (doc_id % 7) || ' </loc></url></urlset>' AS xml
+                FROM documents),
+            l AS (SELECT doc_id,
+                         regexp_extract_all(xml, '<loc>\\s*([^<]+?)\\s*</loc>', 1)
+                             AS locs
+                  FROM x)
+            SELECT doc_id, CAST(u.o - 1 AS INT) AS pos, u.loc
+            FROM l, LATERAL (SELECT unnest(locs) AS loc,
+                                    generate_subscripts(locs, 1) AS o) u
         """,
         "json_source": """
             SELECT event_id AS eid, CAST(props->>'$.k' AS INT) AS k FROM events
@@ -1370,6 +1890,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT eid, rows.currency, rent,
                    round(rent * CAST(rate_eur AS DOUBLE), 2) AS rent_eur
             FROM rows LEFT JOIN rates ON rows.currency = rates.currency
+        """,
+        # golden-file oracle: the expected span rows are generated by the
+        # PURE-PYTHON golden model (tests/golden_model.py) via
+        # tools/gen_crawl_oracle.py and committed as a parquet fixture —
+        # the iterative wave loop itself has no single-query SQL form,
+        # but its expected OUTPUT is a deterministic table
+        "crawl_end_to_end": """
+            SELECT doc_id, kind, text, media_ref, "offset"
+            FROM read_parquet('/root/repo/fixtures/crawl_expected.parquet')
         """,
         "sessionize": """
             WITH g AS (

@@ -183,6 +183,9 @@ def bench_queries(spark, sf_dir: str):
     def q_simhash():
         return TD.simhash_bits(docs, n_bits=32).count()
 
+    def q_simhash_fast():
+        return TD.simhash_bits_fast(docs, n_bits=32).count()
+
     def q_ann_topk():
         queries = emb.filter(F.col("vec_id") % 200 == 0)
         return ANN.brute_force_topk(emb, queries, k=5).count()
@@ -204,6 +207,7 @@ def bench_queries(spark, sf_dir: str):
         ("exact_dedup", q_exact_dedup),
         ("minhash_lsh", q_minhash_lsh),
         ("simhash", q_simhash),
+        ("simhash_fast", q_simhash_fast),
         ("ann_topk", q_ann_topk),
         ("ann_lsh", q_ann_lsh),
         ("events_hourly", q_events_hourly),

@@ -138,6 +138,250 @@ def format_date(col: Column, spark_format: str = "d/M/yyyy") -> Column:
     return F.coalesce(parsed, col)
 
 
+#: extract_date month tables, in the reference's exact iteration order
+#: (helper.py:206-241 — dict insertion order matters: 'januar' is checked
+#: before the numeric-extraction fallback, everything else after it; note
+#: the reference's english list really has 'jun', not 'june').
+GERMAN_MONTHS: list[tuple[str, str]] = [
+    ("januar", "01"), ("februar", "02"), ("märz", "03"), ("april", "04"),
+    ("mai", "05"), ("juni", "06"), ("juli", "07"), ("august", "08"),
+    ("september", "09"), ("oktober", "10"), ("november", "11"), ("dezember", "12"),
+]
+ENGLISH_MONTHS: list[tuple[str, str]] = [
+    ("january", "01"), ("february", "02"), ("march", "03"), ("april", "04"),
+    ("may", "05"), ("jun", "06"), ("july", "07"), ("august", "08"),
+    ("september", "09"), ("october", "10"), ("november", "11"), ("december", "12"),
+]
+
+#: the regex the reference runs over the normalized string (helper.py:252,260)
+DATE_EXTRACT_RE = r"(\d+\.*\d+\.\d*)"
+
+
+def _extract_date_result(s: Column, date_separator: str) -> Column:
+    """Shared tail of both extract_date branches (helper.py:250-266):
+    first regex match -> separator to '/' -> 2 slashes = d/m/yyyy via
+    format_date (passthrough on failure), 1 slash = m/yyyy -> 'yyyy-MM'.
+
+    Shape guards (4-digit year) keep the lenient Spark/DuckDB parsers
+    from accepting strings CPython's strptime rejects (e.g. '1/2/3'
+    parses to year 3 in both engines but raises in Python). Where the
+    reference RAISES (strptime failure on the m/yyyy path) we yield
+    NULL — documented divergence, same policy as rent_sanity_filter.
+    """
+    ext = F.regexp_extract(s, DATE_EXTRACT_RE, 1)
+    avail = F.replace(ext, F.lit(date_separator), F.lit("/"))
+    n_sep = F.length(avail) - F.length(F.replace(avail, F.lit("/"), F.lit("")))
+    full_shape = avail.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$")
+    full = F.when(
+        full_shape,
+        F.coalesce(F.date_format(F.try_to_date(avail, "d/M/yyyy"), "yyyy-MM-dd"), avail),
+    ).otherwise(avail)  # format_date passes through on failure (helper.py:181-183)
+    ym_shape = avail.rlike(r"^\d{1,2}/\d{4}$")
+    ym = F.when(
+        ym_shape, F.date_format(F.try_to_date(avail, "M/yyyy"), "yyyy-MM")
+    ).otherwise(F.lit(None).cast("string"))
+    return (
+        F.when(ext == "", F.lit(None).cast("string"))
+        .when(n_sep == 2, full)
+        .when(n_sep == 1, ym)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_date(col: Column, date_separator: str = ".") -> Column:
+    """German/English month-name date extraction (helper.py:206-266).
+
+    Faithful to the reference's (quirky) control flow: the input is
+    lowercased, spaces removed, '/' mapped to '.'; then months are
+    scanned in dict order — a contained month name is replaced by
+    'MM.' and the date regex runs on the substituted string, BUT the
+    very first non-contained month triggers the raw-string extraction,
+    so in effect: 'januar' substitution wins over everything, then raw
+    numeric extraction, then the first contained month in dict order.
+    Verified against the reference implementation on golden vectors
+    (tests/test_normalize.py).
+
+    Plan shape: a naive 26-branch when-chain inlines the input ~200
+    times and blows the 64 KB codegen method limit (measured: 12x
+    slower, interpreted fallback). Instead the first-contained month is
+    selected with ONE higher-order ``filter`` over the literal month
+    array, the substitution is ONE dynamic ``replace``, and the parse
+    tail is evaluated once — stays inside whole-stage codegen.
+    """
+    months = GERMAN_MONTHS + ENGLISH_MONTHS
+    d = F.replace(F.replace(F.lower(col), F.lit(" "), F.lit("")), F.lit("/"), F.lit("."))
+    raw_ext = F.regexp_extract(d, DATE_EXTRACT_RE, 1)
+    chosen = F.try_element_at(
+        F.filter(F.array(*[F.lit(m) for m, _ in months]), lambda m: F.contains(d, m)),
+        F.lit(1),
+    )
+    # dict() dedups the month names shared by both languages (april,
+    # august, ... — same numbers) — create_map rejects duplicate keys
+    num = F.create_map(*[F.lit(x) for kv in dict(months).items() for x in kv])[chosen]
+    subst = F.replace(d, chosen, F.concat(num, F.lit(".")))
+    s = (
+        F.when(chosen == months[0][0], subst)
+        .when(raw_ext != "", d)
+        .when(chosen.isNotNull(), subst)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _extract_date_result(s, date_separator)
+
+
+#: month-name -> month number across the dateparser languages the
+#: reference requests (helper.py:597-598: languages=['en','es','fr','nl','tr']).
+#: Full names in all five languages plus common ascii fallbacks and
+#: English 3-letter abbreviations — the documented subset of dateparser's
+#: fuzzy matching that the spider fleet actually exercises.
+MULTILOCALE_MONTHS: dict[str, int] = {
+    # en
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
+    "july": 7, "august": 8, "september": 9, "october": 10, "november": 11,
+    "december": 12,
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jul": 7, "aug": 8, "sep": 9,
+    "oct": 10, "nov": 11, "dec": 12,
+    # es
+    "enero": 1, "febrero": 2, "marzo": 3, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "agosto": 8, "septiembre": 9, "octubre": 10, "noviembre": 11,
+    "diciembre": 12,
+    # fr
+    "janvier": 1, "février": 2, "fevrier": 2, "mars": 3, "avril": 4, "mai": 5,
+    "juin": 6, "juillet": 7, "août": 8, "aout": 8, "septembre": 9,
+    "octobre": 10, "novembre": 11, "décembre": 12, "decembre": 12,
+    # nl
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5, "juni": 6, "juli": 7,
+    "augustus": 8, "oktober": 10,
+    # tr
+    "ocak": 1, "şubat": 2, "subat": 2, "mart": 3, "nisan": 4, "mayıs": 5,
+    "mayis": 5, "haziran": 6, "temmuz": 7, "ağustos": 8, "agustos": 8,
+    "eylül": 9, "eylul": 9, "ekim": 10, "kasım": 11, "kasim": 11,
+    "aralık": 12, "aralik": 12,
+}
+
+_ML_NUMERIC_RE = r"^(\d{1,2})[./-](\d{1,2})[./-](\d{4})$"
+_ML_DMY_RE = r"^(\d{1,2})(?:st|nd|rd|th)?\.?\s+([^\s\d.,]+)\.?,?\s+(\d{4})$"
+_ML_MDY_RE = r"^([^\s\d.,]+)\.?\s+(\d{1,2})(?:st|nd|rd|th)?\s*,?\s*(\d{4})$"
+
+
+def _ml_month_map() -> Column:
+    return F.create_map(
+        *[F.lit(x) for kv in MULTILOCALE_MONTHS.items() for x in (kv[0], str(kv[1]))]
+    )
+
+
+def multilocale_available_date(col: Column, today: str) -> Column:
+    """dateparser-analog multi-locale date parse with the future-shift
+    rule (helper.py:593-605, the ItemClear available_date path used by
+    1,305 spiders):
+
+    * accepts d/m/Y numeric (the date_formats=['%d/%m/%Y'] hint, with
+      ./- separators), 'd monthname Y' and 'monthname d, Y' where the
+      month name is en/es/fr/nl/tr (MULTILOCALE_MONTHS);
+    * ``today`` is INJECTED (ISO string) for determinism — the
+      reference compares against midnight-today;
+    * future shift: parsed < today  =>  year := year(today) + 1
+      (the reference replaces with today.year+1, NOT parsed.year+1);
+    * output '%Y-%m-%d'; NULL when unparseable. Feb-29 collisions on
+      the shifted year yield NULL where CPython's .replace() raises —
+      documented divergence.
+    """
+    s = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    m = _ml_month_map()
+
+    def try_date(y: Column, mo: Column, d: Column) -> Column:
+        return F.try_to_date(
+            F.concat_ws("-", y, F.lpad(mo, 2, "0"), F.lpad(d, 2, "0")), "yyyy-MM-dd"
+        )
+
+    num = F.when(
+        F.regexp_extract(s, _ML_NUMERIC_RE, 3) != "",
+        try_date(
+            F.regexp_extract(s, _ML_NUMERIC_RE, 3),
+            F.regexp_extract(s, _ML_NUMERIC_RE, 2),
+            F.regexp_extract(s, _ML_NUMERIC_RE, 1),
+        ),
+    )
+    dmy = F.when(
+        F.regexp_extract(s, _ML_DMY_RE, 3) != "",
+        try_date(
+            F.regexp_extract(s, _ML_DMY_RE, 3),
+            m[F.regexp_extract(s, _ML_DMY_RE, 2)],
+            F.regexp_extract(s, _ML_DMY_RE, 1),
+        ),
+    )
+    mdy = F.when(
+        F.regexp_extract(s, _ML_MDY_RE, 3) != "",
+        try_date(
+            F.regexp_extract(s, _ML_MDY_RE, 3),
+            m[F.regexp_extract(s, _ML_MDY_RE, 1)],
+            F.regexp_extract(s, _ML_MDY_RE, 2),
+        ),
+    )
+    parsed = F.coalesce(num, dmy, mdy)
+    today_d = F.to_date(F.lit(today))
+    shifted = F.when(
+        parsed < today_d,
+        F.try_to_date(
+            F.concat_ws(
+                "-",
+                (F.year(today_d) + 1).cast("string"),
+                F.lpad(F.month(parsed).cast("string"), 2, "0"),
+                F.lpad(F.dayofmonth(parsed).cast("string"), 2, "0"),
+            ),
+            "yyyy-MM-dd",
+        ),
+    ).otherwise(parsed)
+    return F.date_format(shifted, "yyyy-MM-dd")
+
+
+def extract_rent_currency(
+    col: Column,
+    external_source: Column,
+    thousand_separator: str = ".",
+    scale_separator: str = ",",
+) -> tuple[Column, Column]:
+    """(rent, currency) from a raw rent string (helper.py:309-323):
+    rent = convert_to_numeric(extract_number_only(s, seps)) — always a
+    number because extract_number_only yields '0' on no-digits; currency
+    from currency_parser over the SAME raw string."""
+    rent = convert_to_numeric(extract_number_only(col, thousand_separator, scale_separator))
+    return rent, currency_parser(col, external_source)
+
+
+def rent_string_pipeline_rent(
+    col: Column,
+    thousand_separator: str = ".",
+    scale_separator: str = ",",
+) -> Column:
+    """The rent value the framework pipeline actually stores for a
+    ``rent_string`` item (pipelines.py:153-159): it re-runs
+    ``convert_string_to_numeric`` over the ALREADY-PARSED number, whose
+    ``str()`` form loses the separator context — a fractional rent like
+    1200.5 restringifies to '1200.5', the '.' is then stripped as a
+    thousand separator, and the stored value becomes 12005. Faithful
+    reproduction (the quirk only fires when thousand_separator='.'):
+    integral values round-trip via their integer string form
+    (convert_to_numeric returns int when integral, helper.py:346-352).
+    """
+    first, _cur = extract_rent_currency(col, F.lit(""), thousand_separator, scale_separator)
+    str_repr = F.when(
+        first == F.floor(first), first.cast("long").cast("string")
+    ).otherwise(first.cast("string"))
+    return convert_string_to_numeric(str_repr, thousand_separator, scale_separator)
+
+
+def extract_utilities(currency: str, description: Column) -> Column:
+    """Six characters after the LAST occurrence of the currency symbol
+    (helper.py:492-498: ``description[rindex+1 : rindex+7]``); NULL when
+    the symbol is absent. For multi-char symbols the slice starts inside
+    the symbol itself — reproduced faithfully."""
+    suffix = F.substring_index(description, currency, -1)
+    tail = F.concat(F.lit(currency[1:]), suffix) if len(currency) > 1 else suffix
+    return F.when(
+        description.contains(currency), F.substring(tail, 1, 6)
+    ).otherwise(F.lit(None).cast("string"))
+
+
 def energy_label_extractor(value: Column) -> Column:
     """kWh/m2 -> EU label A..G by the reference's bands (helper.py:185-201,
     duplicated at 500-516 and in ItemClear at 614-632)."""
@@ -243,6 +487,27 @@ def rent_sanity_filter(rent: Column) -> Column:
     as a keep-predicate, documented divergence (SURVEY.md §2.3)."""
     r = rent.try_cast("double")
     return r.isNotNull() & (r > 0) & (r <= 40000)
+
+
+#: simple JS literal: identifier key + string/number value
+_JS_PAIR_RE = r"""([A-Za-z_$][A-Za-z0-9_$]*)\s*:\s*('[^']*'|"[^"]*"|-?\d+(?:\.\d+)?)"""
+
+
+def js_literal_pairs(col: Column) -> tuple[Column, Column]:
+    """(keys, values) arrays of simple key:value literals in a script
+    blob — the subset of js2xml tree extraction the spider fleet
+    actually uses (lat/lng/config objects; ``acorngroup_co_uk.py:104``,
+    ``agence_cei_fr.py:145``: parse JS, then xpath string/number
+    properties out of the tree). String values are unquoted; nested
+    structures are out of scope (none of the surveyed spiders read
+    them). Pure JVM regex — zip the arrays or ``map_from_arrays`` as
+    needed."""
+    keys = F.regexp_extract_all(col, F.lit(_JS_PAIR_RE), 1)
+    vals = F.transform(
+        F.regexp_extract_all(col, F.lit(_JS_PAIR_RE), 2),
+        lambda v: F.regexp_replace(v, """^['"]|['"]$""", ""),
+    )
+    return keys, vals
 
 
 def extract_coordinates(col: Column) -> tuple[Column, Column]:

@@ -161,14 +161,72 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return canonicalize_series(urls, pin=True)
 
 
+#: leading LOWERCASE scheme ("http://", "ftp://", ...) — urljoin
+#: lowercases the scheme while joining, so an uppercase-scheme base or
+#: href must take the fallback to match it byte-for-byte
+_ABS_RE = r"^[a-z][a-z0-9+.-]*://"
+#: dot-segment anywhere ("./x", "../x", "a/./b", trailing "/..", bare ".")
+_DOTSEG_RE = r"(?:^|/)\.{1,2}(?:/|$)"
+
+
 def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     """urljoin(base, href) per batch — relative->absolute resolution.
 
     Mirrors ``response.urljoin`` used by 2,553 reference spiders
     (e.g. ``python_spiders/spiders/der_immo_tip.py:33``).
+
+    The three link shapes that dominate real crawls — absolute,
+    root-relative (``/path``), plain relative (``page2.html``) — are
+    resolved with vectorized pandas str kernels; only the residue
+    (dot-segments, protocol-relative ``//host``, ``?``/``#``-leading,
+    scheme-relative, non-URL bases) falls back to per-row ``urljoin``.
+    Property-tested against urljoin on arbitrary href shapes
+    (tests/test_properties.py).
     """
-    out = [urljoin(b if isinstance(b, str) else "", h if isinstance(h, str) else "") for b, h in zip(base, href)]
-    return pd.Series(out, index=href.index, dtype="object")
+    base = base.fillna("").astype(str)
+    href = href.fillna("").astype(str)
+
+    # base must be absolute with a netloc, and its PATH free of dot
+    # segments (urljoin normalizes those during a relative join)
+    origin = base.str.extract(r"^([a-z][a-z0-9+.-]*://[^/?#]*)", expand=False)
+    base_path = base.str.split("#").str[0].str.split("?").str[0]
+    base_ok = origin.notna() & (origin.str.len() > base.str.extract(
+        r"^([a-z][a-z0-9+.-]*://)", expand=False
+    ).str.len().fillna(0)) & ~base_path.str.contains(_DOTSEG_RE, regex=True)
+
+    # urljoin collapses empty path segments while merging a plain
+    # relative href, so a base path containing '//' takes the fallback
+    base_tail = base_path.str.replace(
+        r"^[a-z][a-z0-9+.-]*://[^/?#]*", "", regex=True
+    )
+    base_dir_ok = base_ok & ~base_tail.str.contains("//", regex=False)
+
+    href_dotty = href.str.contains(_DOTSEG_RE, regex=True)
+    is_abs = href.str.match(_ABS_RE) & ~href_dotty
+    is_root = href.str.match(r"^/(?!/)") & base_ok & ~href_dotty
+    is_plain = (
+        href.str.match(r"^[^/:?#]")
+        & ~href.str.contains(":", regex=False)
+        & base_dir_ok
+        & ~href_dotty
+    )
+
+    # base directory: path cut after its last '/', or origin + '/' when
+    # the base has no path ('http://h' -> 'http://h/')
+    dirpath = base_path.str.replace(r"[^/]*$", "", regex=True)
+    no_path = dirpath.str.len() <= origin.fillna("").str.len()
+    dirpath = dirpath.where(~no_path, origin.fillna("") + "/")
+
+    out = pd.Series(pd.NA, index=href.index, dtype="object")
+    out[is_abs] = href[is_abs]
+    out[is_root & ~is_abs] = origin[is_root & ~is_abs] + href[is_root & ~is_abs]
+    out[is_plain & ~is_abs] = dirpath[is_plain & ~is_abs] + href[is_plain & ~is_abs]
+    residue = out.isna()
+    if residue.any():
+        out[residue] = [
+            urljoin(b, h) for b, h in zip(base[residue], href[residue])
+        ]
+    return out.astype("object")
 
 
 @F.pandas_udf(T.StringType())

@@ -134,18 +134,24 @@ def lsh_bucketed_topk(
     b = srp_buckets_udf(dim, n_planes, n_tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
         F.posexplode(b(F.col(vec_col))).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
         F.posexplode(b(F.col(vec_col))).alias("tbl", "bucket"),
     )
-    cand = c.join(F.broadcast(q), ["tbl", "bucket"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # dedup candidate IDS first (narrow 16-byte rows), then re-attach
+    # the wide embedding arrays once per side — a distinct over
+    # (id, qvec, id, cvec) would shuffle every vector n_tables times
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    pairs = cand.select("query_id", "qvec", "neighbor_id", "cvec").distinct()
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    pairs = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     scored = pairs.withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -155,19 +161,80 @@ def lsh_bucketed_topk(
     )
 
 
+def sign_buckets(vec: F.Column, n_planes: int = 4, n_tables: int = 4) -> F.Column:
+    """Coordinate-sign LSH buckets, one per table — the axis-aligned
+    special case of sign-random-projection (hyperplane = coordinate
+    axis). Pure JVM column exprs, so the SAME bucketing runs in the
+    DuckDB oracle; use :func:`srp_buckets_udf` when random hyperplanes
+    are preferred (e.g. embeddings with correlated leading dims).
+
+    Table ``t`` bucket = Σ_{i<p} (vec[t·p+i] > 0) << i — requires
+    dim >= n_tables * n_planes.
+    """
+    tables = []
+    for t in range(n_tables):
+        bits = None
+        for i in range(n_planes):
+            bit = F.when(
+                F.element_at(vec, t * n_planes + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            bits = bit if bits is None else (bits + bit)
+        tables.append(bits.cast("long"))
+    return F.array(*tables)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "bucketed",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    round_dp: int = 6,
 ) -> DataFrame:
-    """All (a<b) pairs with cosine >= threshold — brute-force variant
-    for oracle-checkable sizes; compose with SRP buckets at scale."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """(a<b) pairs with cosine >= threshold.
+
+    ``mode='bucketed'`` (default, the scale path): candidates are pairs
+    sharing a sign-LSH bucket in >=1 of ``n_tables`` coordinate blocks
+    — a banded equi-join like MinHash LSH, candidate count ~O(similar
+    pairs), never O(n²); exact cosine verifies each candidate. Pair ids
+    are deduped BEFORE the vectors are re-joined, so the wide embedding
+    arrays shuffle once per side, not once per table. Plan-guarded
+    no-cartesian (tests/test_plans.py). Recall == 1.0 for sign-stable
+    near-dups (cos ~ 1 with no coordinate sign flips) and is tested vs
+    brute force (tests/test_operators_ext.py).
+
+    ``mode='brute'``: the O(n²) all-pairs verifier — the pytest oracle
+    for the bucketed path, never the production default.
+    """
+    if mode == "brute":
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        tagged = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(sign_buckets(F.col(vec_col), n_planes, n_tables)).alias(
+                "tbl", "bucket"
+            ),
+        )
+        l, r = tagged.alias("l"), tagged.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vid") < F.col("r.vid")),
+            )
+            .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+            .distinct()
+        )
+        va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), round_dp))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

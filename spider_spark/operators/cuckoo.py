@@ -183,16 +183,12 @@ def updated_cuckoo_filters(
             }
         )
 
+    # single full-outer cogroup: updated + untouched buckets in one
+    # pass (see dedup.updated_filters)
     schema = "crawl_id string, host_bucket int, wave int, filter_bytes binary"
-    touched = (
+    return (
         admitted.select("crawl_id", "host_bucket", "fingerprint", "dont_filter")
         .groupBy("crawl_id", "host_bucket")
         .cogroup(filters.groupBy("crawl_id", "host_bucket"))
         .applyInPandas(fold, schema=schema)
     )
-    untouched = filters.join(
-        admitted.select("crawl_id", "host_bucket").distinct(),
-        on=["crawl_id", "host_bucket"],
-        how="left_anti",
-    ).select("crawl_id", "host_bucket", "wave", "filter_bytes")
-    return touched.unionByName(untouched)

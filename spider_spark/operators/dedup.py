@@ -105,6 +105,22 @@ class BloomSpec:
         return bytes(self.m_bits // 8)
 
 
+def _hex_u64(fingerprints, start: int) -> np.ndarray:
+    """16 hex chars starting at ``start`` -> uint64, fully vectorized
+    (one ASCII buffer view + 16 shift-or steps; ~30x the per-row
+    ``int(fp[a:b], 16)`` loop that dominated the insert stage at 10^6
+    fingerprints/bucket). Assumes uniform-length lowercase hex."""
+    joined = "".join(fingerprints)
+    n = len(fingerprints)
+    a = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).reshape(n, -1)
+    seg = a[:, start : start + 16]
+    vals = np.where(seg >= 97, seg - 87, seg - 48).astype(np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(16):
+        out = (out << np.uint64(4)) | vals[:, i]
+    return out
+
+
 def _hash_positions(fingerprints: pd.Series, k: int, m_bits: int) -> np.ndarray:
     """(n, k) bit positions per fingerprint — vectorized via numpy.
 
@@ -112,9 +128,11 @@ def _hash_positions(fingerprints: pd.Series, k: int, m_bits: int) -> np.ndarray:
     from two independent 64-bit halves (Kirsch–Mitzenmacher double
     hashing: pos_i = h1 + i*h2 mod m).
     """
-    # hex -> two uint64 halves, vectorized through bytes
-    h1 = np.array([int(fp[:16], 16) for fp in fingerprints], dtype=np.uint64)
-    h2 = np.array([int(fp[16:32], 16) | 1 for fp in fingerprints], dtype=np.uint64)
+    fps = list(fingerprints)
+    if not fps:
+        return np.zeros((0, k), dtype=np.uint64)
+    h1 = _hex_u64(fps, 0)
+    h2 = _hex_u64(fps, 16) | np.uint64(1)
     i = np.arange(k, dtype=np.uint64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
 
@@ -216,16 +234,15 @@ def updated_filters(
             }
         )
 
+    # the cogroup is FULL-OUTER over keys: buckets with admissions get
+    # their filter updated, buckets with only existing filter bytes
+    # pass through unchanged inside the same fold — one shuffle, no
+    # separate anti-join/union pass over the state table (which also
+    # double-emitted untouched buckets: cogroup already covered them)
     schema = "crawl_id string, host_bucket int, wave int, filter_bytes binary"
-    touched = (
+    return (
         admitted.select("crawl_id", "host_bucket", "fingerprint", "dont_filter")
         .groupBy("crawl_id", "host_bucket")
         .cogroup(filters.groupBy("crawl_id", "host_bucket"))
         .applyInPandas(fold, schema=schema)
     )
-    untouched = filters.join(
-        admitted.select("crawl_id", "host_bucket").distinct(),
-        on=["crawl_id", "host_bucket"],
-        how="left_anti",
-    ).select("crawl_id", "host_bucket", "wave", "filter_bytes")
-    return touched.unionByName(untouched)

@@ -208,6 +208,71 @@ def simhash_bits(
     )
 
 
+def simhash_bits_fast(
+    documents: DataFrame,
+    n_bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production SimHash twin of :func:`simhash_bits` — one
+    ``mapInPandas`` pass, numpy bit accumulation, no row explosion.
+
+    The relational form (kept as the DuckDB-oracle twin) explodes
+    tokens x n_bits rows: 64x the token count through the shuffle —
+    the wrong default at 100 TB. Here each Arrow batch is processed in
+    Python once: token -> md5 (cached per unique token within the
+    batch) -> ±1 bit vector -> per-doc accumulate -> sign. Output is
+    bit-identical to simhash_bits (cross-validated in
+    tests/test_operators_ext.py): bit p = (hex_digit(p/4) >> (p%4)) & 1,
+    majority with ties -> '0', docs with zero tokens omitted.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = documents.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_type}, simhash string"
+    n_digits = (n_bits + 3) // 4
+
+    def run(batches):
+        import hashlib
+
+        tok_re = re.compile(r"[a-z0-9]+")
+        shifts = np.arange(4, dtype=np.uint8)
+        cache: dict[str, np.ndarray] = {}
+
+        def contrib(tok: str) -> np.ndarray:
+            v = cache.get(tok)
+            if v is None:
+                h = hashlib.md5(tok.encode()).hexdigest()[:n_digits]
+                raw = np.frombuffer(
+                    bytes.fromhex(h if len(h) % 2 == 0 else h + "0"), dtype=np.uint8
+                )
+                dig = np.empty(len(raw) * 2, dtype=np.uint8)
+                dig[0::2] = raw >> 4
+                dig[1::2] = raw & 15
+                bits = ((dig[:n_digits, None] >> shifts) & 1).reshape(-1)[:n_bits]
+                v = (2 * bits.astype(np.int32)) - 1
+                cache[tok] = v
+            return v
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = tok_re.findall((t or "").lower())
+                if not toks:
+                    continue  # relational twin emits no row either
+                acc = np.zeros(n_bits, dtype=np.int64)
+                for tk in toks:
+                    acc += contrib(tk)
+                ids.append(i)
+                sigs.append("".join("1" if x > 0 else "0" for x in acc))
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return documents.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def simhash_neardup_pairs(
     documents: DataFrame,
     max_hamming: int = 3,

@@ -64,12 +64,14 @@ class CrawlEngine:
         host_policy: DataFrame,
         store: SnapshotStore,
         config: CrawlConfig | None = None,
+        sitemaps: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.web = canonical_web(web_pages).persist()
         self.policy = host_policy
         self.store = store
+        self.sitemaps = sitemaps  # optional sitemaps(url, xml) table
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
     # -- admission ----------------------------------------------------------
@@ -119,6 +121,12 @@ class CrawlEngine:
             pending = self.store.read_table("frontier", "latest", schema=schemas.FRONTIER)
         else:
             wave = 0
+            if self.sitemaps is not None:
+                # pre-wave-0 sitemap expansion (SitemapSpider analog,
+                # athimmo_be.py:18-26): *.xml seeds -> one seed per <loc>
+                from ..sources.sitemap import expand_sitemap_seeds
+
+                seeds = expand_sitemap_seeds(seeds, self.sitemaps)
             # seed rows: deterministic order by (source, url) — documented
             # analog of start_urls list order (readme.md:33-55)
             cand = seeds.select(
@@ -184,11 +192,14 @@ class CrawlEngine:
             ).unionByName(retry.select(*deferred.columns))
             self.store.write_wave("frontier", wave, next_pending)
 
+            # ONE stat action per wave: both sides are tiny aggregates
+            # over persisted DataFrames — unioning them folds what was
+            # two driver round-trips (2 jobs) into one, which matters
+            # because fixed per-job overhead dominates small waves
+            # (BENCH_r01 crawl_loop: ~4.3 s/wave floor)
             astats = admitted.agg(
-                F.count("*").alias("n"), F.max("discovered_seq").alias("m")
-            ).collect()[0]
-            n_admitted = astats["n"]
-            next_base = max(next_base, int(astats["m"] or 0)) + 1
+                F.count("*").alias("n"), F.max("discovered_seq").alias("x")
+            ).select(F.lit("admitted").alias("side"), "n", "x")
             fstats = fetched.agg(
                 F.count("*").alias("n"),
                 F.sum(
@@ -197,10 +208,13 @@ class CrawlEngine:
                         & ~F.col("is_listing_page")
                         & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
                     ).cast("long")
-                ).alias("docs"),
-            ).collect()[0]
-            n_fetched = fstats["n"]
-            n_docs = int(fstats["docs"] or 0)
+                ).alias("x"),
+            ).select(F.lit("fetched").alias("side"), "n", "x")
+            stats = {r["side"]: r for r in astats.unionByName(fstats).collect()}
+            n_admitted = stats["admitted"]["n"]
+            next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
+            n_fetched = stats["fetched"]["n"]
+            n_docs = int(stats["fetched"]["x"] or 0)
             metrics = (
                 fetched.groupBy("crawl_id", "host_bucket")
                 .agg(

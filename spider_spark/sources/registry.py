@@ -52,6 +52,10 @@ class SiteSpec:
     scale_separator: str = ","
     download_delay_s: float | None = None
     proxy_country: str | None = None
+    #: SitemapSpider analog (athimmo_be.py:18-26): sitemap URLs become
+    #: seed rows and are expanded pre-wave-0 by
+    #: sources.sitemap.expand_sitemap_seeds (they match *.xml)
+    sitemap_urls: list[str] = field(default_factory=list)
     fields: list[FieldSpec] = field(default_factory=list)
 
 
@@ -140,7 +144,7 @@ def seeds_from_registry(spark: SparkSession, registry: dict[str, SiteSpec] | Non
     reg = registry if registry is not None else REGISTRY
     rows = []
     for s in reg.values():
-        for url in s.seeds:
+        for url in list(s.seeds) + list(s.sitemap_urls):
             rows.append(
                 (url, s.source, {"country": s.country or "", "locale": s.locale or ""}, 0)
             )

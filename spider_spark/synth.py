@@ -204,6 +204,59 @@ def gen_host_policy(spec: WebSpec) -> list[dict]:
     return rows
 
 
+def gen_sitemaps(spec: WebSpec) -> list[dict]:
+    """Per-host sitemap tree (index -> leaf), mirroring the reference's
+    SitemapSpider shape (``athimmo_be.py:18-26``): the index lists one
+    leaf sitemap; the leaf lists every listing-page URL of the host, so
+    a sitemap-seeded crawl reaches exactly the pages a start_urls crawl
+    reaches."""
+    rows = []
+    for host in spec.hosts:
+        rows.append(
+            {
+                "url": f"http://{host}/sitemap.xml",
+                "xml": (
+                    '<?xml version="1.0"?><sitemapindex>'
+                    f"<sitemap><loc>http://{host}/sitemap-pages.xml</loc></sitemap>"
+                    "</sitemapindex>"
+                ),
+            }
+        )
+        locs = "".join(
+            f"<url><loc> http://{host}/list?page={p} </loc></url>"
+            for p in range(1, spec.n_pages(host) + 1)
+        )
+        rows.append(
+            {
+                "url": f"http://{host}/sitemap-pages.xml",
+                "xml": f'<?xml version="1.0"?><urlset>{locs}</urlset>',
+            }
+        )
+    return rows
+
+
+def gen_sitemap_seeds(spec: WebSpec) -> list[dict]:
+    """Seeds pointing at each host's sitemap index instead of its first
+    listing page (the SitemapSpider entry shape)."""
+    return [
+        {
+            "url": f"http://{h}/sitemap.xml",
+            "source": f"spider_{h.split('.')[0]}",
+            "meta": {"property_type": "apartment" if i % 2 == 0 else "house"},
+            "priority": 0,
+        }
+        for i, h in enumerate(spec.hosts)
+    ]
+
+
+def sitemaps_df(spark: SparkSession, spec: WebSpec) -> DataFrame:
+    return spark.createDataFrame(gen_sitemaps(spec), schema="url string, xml string")
+
+
+def sitemap_seeds_df(spark: SparkSession, spec: WebSpec) -> DataFrame:
+    return spark.createDataFrame(gen_sitemap_seeds(spec), schema=schemas.SEEDS)
+
+
 def web_df(spark: SparkSession, spec: WebSpec) -> DataFrame:
     return spark.createDataFrame(gen_web(spec), schema=schemas.WEB_PAGES)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from spider_spark import schemas
 from spider_spark.plans.engine import CrawlConfig, CrawlEngine
 from spider_spark.storage.catalog import SnapshotStore
 from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
@@ -150,3 +151,98 @@ def test_metrics_lineage_recorded(engine_run):
     fetched_sum = m.agg(F.sum("fetched")).collect()[0][0]
     assert fetched_sum == totals["fetched"]
     assert m.filter(F.col("host_bucket").isNull()).count() == 0
+
+
+def test_sitemap_seed_expansion_unit(spark):
+    """expand_sitemap_seeds: passthrough for plain seeds, <loc>
+    explosion for sitemap seeds, index->leaf recursion, unknown
+    sitemap URLs dropped (the 404'd-sitemap analog)."""
+    from spider_spark.sources.sitemap import expand_sitemap_seeds
+
+    seeds = spark.createDataFrame(
+        [
+            ("http://a.example/list?page=1", "sa", {}, 0),
+            ("http://b.example/sitemap.xml", "sb", {"k": "v"}, 2),
+            ("http://c.example/missing.xml", "sc", {}, 0),
+        ],
+        schemas.SEEDS,
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "http://b.example/sitemap.xml",
+                "<sitemapindex><sitemap><loc>http://b.example/sub.xml</loc>"
+                "</sitemap></sitemapindex>",
+            ),
+            (
+                "http://b.example/sub.xml",
+                "<urlset><url><loc> http://b.example/p1 </loc></url>"
+                "<url><loc>http://b.example/p2</loc></url></urlset>",
+            ),
+        ],
+        "url string, xml string",
+    )
+    out = expand_sitemap_seeds(seeds, sitemaps).collect()
+    rows = {(r["url"], r["source"], r["priority"]) for r in out}
+    assert rows == {
+        ("http://a.example/list?page=1", "sa", 0),
+        ("http://b.example/p1", "sb", 2),
+        ("http://b.example/p2", "sb", 2),
+    }
+    meta = {r["url"]: r["meta"] for r in out}
+    assert meta["http://b.example/p1"] == {"k": "v"}  # meta inherited
+
+
+def test_sitemap_crawl_matches_start_urls_crawl(spark, tmp_path):
+    """A sitemap-seeded crawl (index -> leaf -> listing pages) must
+    produce the same document set as the equivalent start_urls crawl
+    (retry_rate=0 so both reach every page)."""
+    from spider_spark.plans.engine import CrawlConfig, CrawlEngine
+    from spider_spark.storage.catalog import SnapshotStore
+    from spider_spark.synth import (
+        WebSpec, host_policy_df, seeds_df, sitemap_seeds_df, sitemaps_df, web_df,
+    )
+
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=3,
+                   retry_rate=0.0, dead_link_rate=0.0)
+
+    def run(seeds, sitemaps, tag):
+        eng = CrawlEngine(
+            spark,
+            web_df(spark, spec),
+            host_policy_df(spark, spec),
+            SnapshotStore(spark, str(tmp_path / tag)),
+            CrawlConfig(crawl_id=tag, n_buckets=8, max_waves=20, wave_seconds=4.0),
+            sitemaps=sitemaps,
+        )
+        eng.run(seeds)
+        return {r["doc_id"] for r in eng.documents().select("doc_id").collect()}
+
+    via_start = run(seeds_df(spark, spec), None, "start")
+    via_sitemap = run(sitemap_seeds_df(spark, spec), sitemaps_df(spark, spec), "map")
+    assert via_start == via_sitemap
+    assert len(via_start) > 0
+
+
+def test_crawl_oracle_fixture_is_fresh():
+    """fixtures/crawl_expected.parquet (the driver-facing oracle for
+    crawl_end_to_end) must equal a fresh golden-model run on the entry
+    spec — guards against the fixture drifting from the spec or the
+    golden model."""
+    import pyarrow.parquet as pq
+
+    from spider_spark.synth import WebSpec
+
+    spec = WebSpec(seed=42, n_hosts=3, pages_per_host=1, details_per_page=3)
+    g = GoldenCrawl(spec, wave_seconds=4.0, max_waves=30)
+    g.run()
+    expected = sorted(
+        (doc_id, s["kind"], s["text"], s["media_ref"], s["offset"])
+        for doc_id, spans in g.documents.items()
+        for s in spans
+    )
+    t = pq.read_table("/root/repo/fixtures/crawl_expected.parquet").to_pydict()
+    committed = sorted(
+        zip(t["doc_id"], t["kind"], t["text"], t["media_ref"], t["offset"])
+    )
+    assert committed == expected

@@ -153,3 +153,100 @@ def test_extract_coordinates(spark):
 def test_weekly_to_monthly(spark):
     df = spark.createDataFrame([(250,)], "x int")
     assert df.select(N.weekly_to_monthly_rent(F.col("x")).alias("y")).collect()[0]["y"] == 1000
+
+
+def test_extract_date_golden(spark):
+    """Golden vectors verified against the reference extract_date
+    (helper.py:206-266) executed on these exact inputs; where the
+    reference RAISES (strptime failure) we assert the documented NULL."""
+    vec = [
+        ("Frei ab 15.08.2021", "2021-08-15"),
+        ("ab Oktober 2021", "2021-10"),
+        ("01.05.2021", "2021-05-01"),
+        ("august 2021", "2021-08"),
+        # 'januar' substitution wins over the raw numeric path (dict order)
+        ("1. Januar 2022", "2022-01-01"),
+        # ...but raw numeric beats every OTHER month name
+        ("mai 15.03.2021", "2021-03-15"),
+        ("5.3.2021", "2021-03-05"),
+        ("11.2021", "2021-11"),
+        ("march 2021", "2021-03"),
+        ("September 2023", "2023-09"),
+        ("15/08/2021", "2021-08-15"),
+        # invalid d/m/y -> format_date passthrough of the extracted text
+        ("1.2.3.2021", "1/2/3"),
+        ("soon", None),
+        ("", None),
+        # reference raises ValueError here ('january'->'01.y2021'->'01/');
+        # we return NULL (documented divergence)
+        ("january 2021", None),
+    ]
+    got = col_vals(spark, [x for x, _ in vec], N.extract_date)
+    assert got == [y for _, y in vec]
+
+
+def test_multilocale_available_date(spark):
+    """dateparser-analog (helper.py:593-605) with today=2021-06-15:
+    parsed < today => year := today.year+1 (NOT parsed.year+1)."""
+    vec = [
+        ("12/05/2021", "2022-05-12"),     # past -> shifted
+        ("20/11/2021", "2021-11-20"),     # future -> kept
+        ("3 march 2021", "2022-03-03"),
+        ("15 ocak 2022", "2022-01-15"),
+        ("december 7, 2020", "2022-12-07"),  # shift uses today.year+1
+        ("1 mayıs 2021", "2022-05-01"),
+        ("29/02/2024", "2024-02-29"),
+        ("29/02/2020", None),             # shift lands on 2022-02-29 (invalid)
+        ("15.06.2021", "2021-06-15"),     # parsed == today -> NOT shifted
+        ("available soon", None),
+    ]
+    got = col_vals(
+        spark, [x for x, _ in vec], lambda c: N.multilocale_available_date(c, "2021-06-15")
+    )
+    assert got == [y for _, y in vec]
+
+
+def test_extract_rent_currency_and_pipeline(spark):
+    """helper.py:309-323 unit + the pipeline's fractional double-parse
+    quirk (pipelines.py:153-159: str(1200.5) -> '.' stripped -> 12005)."""
+    df = spark.createDataFrame(
+        [("€1.200,50 warm",), ("€1.200,00",), ("TL 950",), ("nothing",)], "x string"
+    )
+    rent, cur = N.extract_rent_currency(F.col("x"), F.lit("rent_de_com"), ".", ",")
+    out = df.select(
+        rent.alias("rent"),
+        cur.alias("cur"),
+        N.rent_string_pipeline_rent(F.col("x"), ".", ",").alias("stored"),
+    ).collect()
+    assert [(r["rent"], r["cur"], r["stored"]) for r in out] == [
+        (1200.5, "EUR", 12005.0),
+        (1200.0, "EUR", 1200.0),
+        (950.0, "TRY", 950.0),
+        (0.0, None, 0.0),
+    ]
+
+
+def test_extract_utilities(spark):
+    """helper.py:492-498: 6 chars after the LAST symbol occurrence."""
+    df = spark.createDataFrame(
+        [
+            ("rent € 100 plus € 156,50 x",),
+            ("no symbol",),
+            ("ends with €",),
+        ],
+        "x string",
+    )
+    out = df.select(N.extract_utilities("€", F.col("x")).alias("u")).collect()
+    assert [r["u"] for r in out] == [" 156,5", None, ""]
+
+
+def test_js_literal_pairs(spark):
+    """js2xml-analog literal extraction (acorngroup_co_uk.py:104)."""
+    df = spark.createDataFrame(
+        [("var cfg = {lat: 45.12, lng: '8.4', zoom: 12, name: \"x\"} ;",)],
+        "x string",
+    )
+    keys, vals = N.js_literal_pairs(F.col("x"))
+    row = df.select(keys.alias("k"), vals.alias("v")).collect()[0]
+    assert row["k"] == ["lat", "lng", "zoom", "name"]
+    assert row["v"] == ["45.12", "8.4", "12", "x"]

@@ -527,3 +527,74 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_embedding_neardup_bucketed_vs_brute(spark):
+    """Bucketed near-dup (the production default) vs brute force:
+    candidates are a subset by construction; sign-stable near-dups
+    (clone scaled by 1.01 -> identical sign pattern, cos ~ 1.0) MUST
+    all be found (recall 1.0 at threshold 0.95)."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import ann as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # clone every 5th vector, scaled (sign-preserving => same buckets)
+    clones = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(1.01)).alias(
+                "embedding"
+            ),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.embedding_neardup_pairs(
+            corpus, threshold=0.95, mode="bucketed"
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.embedding_neardup_pairs(
+            corpus, threshold=0.95, mode="brute"
+        ).collect()
+    }
+    assert len(brute) > 0
+    assert bucketed <= brute          # LSH never invents pairs
+    assert bucketed == brute          # sign-stable dups: recall 1.0
+    # and at a LOOSE threshold the bucketed candidates still recover a
+    # useful share of true pairs on near-orthogonal synthetic vectors
+    loose_b = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.embedding_neardup_pairs(corpus, 0.35, mode="bucketed").collect()
+    }
+    loose_t = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.embedding_neardup_pairs(corpus, 0.35, mode="brute").collect()
+    }
+    assert loose_b <= loose_t
+    assert len(loose_b) / max(len(loose_t), 1) >= 0.3
+
+
+def test_simhash_fast_equals_relational(spark):
+    """The numpy mapInPandas SimHash (production path) must be
+    bit-identical to the relational/oracle formulation at several
+    widths — same tokenization, same md5-bit decode, same tie rule,
+    same zero-token omission."""
+    from spider_spark.operators import textdedup as TD
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for n_bits in (16, 64):
+        rel = {
+            r["doc_id"]: r["simhash"]
+            for r in TD.simhash_bits(docs, n_bits=n_bits).collect()
+        }
+        fast = {
+            r["doc_id"]: r["simhash"]
+            for r in TD.simhash_bits_fast(docs, n_bits=n_bits).collect()
+        }
+        assert fast == rel

@@ -95,3 +95,39 @@ def test_fingerprint_stays_jvm_side(spark):
     plan = physical(fr.select("fingerprint", "host_bucket"))
     assert plan.count("ArrowEvalPython") == 1  # canonicalize only
     assert "sha1" in plan and "xxhash64" in plan  # hashing in JVM exprs
+
+
+def test_embedding_neardup_bucketed_no_cartesian(spark):
+    """The default near-dup path must be a banded equi-join (shuffle
+    hash/sort-merge on (tbl, bucket)), never a cartesian product — the
+    O(n²) plan the round-1 verdict flagged."""
+    from spider_spark.operators import ann as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ANN.embedding_neardup_pairs(emb, threshold=0.9)
+    plan = physical(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_links_single_arrow_stage(spark):
+    """The link path runs exactly ONE Python/Arrow stage (the resolve
+    UDF, itself vectorized with a urljoin fallback only for residue
+    hrefs) — a regression adding per-row Python here multiplies the
+    parse stage cost at 10^10 links."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.spans import extract_links
+
+    fetched = spark.createDataFrame(
+        [
+            ("c", "http://h/list?page=1", "s", {"k": "v"}, 0, 1, ["/a", "b", "http://x/c"], True, 200),
+        ],
+        "crawl_id string, url string, source string, meta map<string,string>, "
+        "priority int, discovered_seq long, out_links array<string>, "
+        "is_listing_page boolean, status int",
+    )
+    out = extract_links(fetched)
+    plan = physical(out)
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python

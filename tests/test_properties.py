@@ -76,3 +76,66 @@ def test_arrow_and_pandas_paths_agree():
         ]
     )
     assert _canonicalize_arrow(cases).tolist() == _canonicalize_pandas(cases).tolist()
+
+
+# ---------------------------------------------------------------------------
+# resolve_series vs urljoin (vectorized fast paths + fallback residue)
+# ---------------------------------------------------------------------------
+
+href_abs = st.builds(
+    lambda s, h, p: s.lower() + "://" + h + p, scheme, host, path
+)
+href_root = st.from_regex(r"/[A-Za-z0-9._~%/-]{0,15}", fullmatch=True)
+href_plain = st.from_regex(r"[A-Za-z0-9._~%-][A-Za-z0-9._~%/-]{0,15}", fullmatch=True)
+href_weird = st.sampled_from(
+    ["", "../up", "./here", "a/../b", "//proto.rel/x", "?q=1", "#frag",
+     "mailto:x@y.z", "..", ".", "a/./b", "/a/../b", "g:h", "x?y=../z"]
+)
+hrefs = st.one_of(href_abs, href_root, href_plain, href_weird)
+
+
+@given(st.lists(st.tuples(urls(), hrefs), min_size=1, max_size=30))
+@settings(max_examples=120, deadline=None)
+def test_resolve_matches_urljoin(pairs):
+    """Vectorized resolve == urllib urljoin on every href shape —
+    absolute / root-relative / plain-relative fast paths AND the
+    fallback residue (dot segments, protocol-relative, query/fragment
+    hrefs)."""
+    from urllib.parse import urljoin
+
+    from spider_spark.functions.urls import resolve_series
+
+    base = pd.Series([b for b, _ in pairs])
+    href = pd.Series([h for _, h in pairs])
+    got = resolve_series(base, href).tolist()
+    want = [urljoin(b, h) for b, h in pairs]
+    assert got == want
+
+
+def test_resolve_fast_path_covers_crawl_shapes():
+    """The three synthetic-web link shapes must NOT hit the urljoin
+    fallback (they are the hot path at 10^10 links)."""
+    import spider_spark.functions.urls as U
+
+    calls = []
+    real = U.urljoin
+
+    def spy(b, h):
+        calls.append((b, h))
+        return real(b, h)
+
+    U.urljoin = spy
+    try:
+        base = pd.Series(["http://h0.example/list?page=1"] * 3)
+        href = pd.Series(
+            ["/detail/d1", "detail/d2", "http://h1.example:80/detail/d3#f"]
+        )
+        got = U.resolve_series(base, href).tolist()
+    finally:
+        U.urljoin = real
+    assert calls == []
+    assert got == [
+        "http://h0.example/detail/d1",
+        "http://h0.example/detail/d2",
+        "http://h1.example:80/detail/d3#f",
+    ]
