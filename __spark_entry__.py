@@ -613,6 +613,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.ngram_jaccard_pairs(docs, threshold=0.2, shingle_n=3)
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03): k=4 char
+    grams, window w=5, distinct selected (pos, hash) pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return TD.winnow_fingerprints(docs, k=4, w=5)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return TD.simhash_bits(docs, n_bits=16)
@@ -1073,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow": q_winnow,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ann_topk": q_ann_topk,
@@ -1654,6 +1662,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(c / (sa.n_sh + sb.n_sh - c), 4) >= 0.2
+        """,
+        "winnow": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+                FROM documents WHERE doc_id % 3 = 0),
+            f AS (SELECT doc_id, s FROM n WHERE length(s) >= 8),
+            g AS (SELECT doc_id, u.i - 1 AS pos,
+                         substring(md5(substring(s, CAST(u.i AS INT), 4)), 1, 8) AS h
+                  FROM f, LATERAL (SELECT unnest(range(1, length(s) - 2)) AS i) u),
+            m AS (SELECT doc_id, pos,
+                         min(h || lpad(CAST(pos AS VARCHAR), 9, '0')) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key,
+                         count(*) OVER (PARTITION BY doc_id) AS ng
+                  FROM g)
+            SELECT DISTINCT doc_id,
+                   CAST(substring(key, 9, 9) AS INT) AS pos,
+                   substring(key, 1, 8) AS fp
+            FROM m WHERE pos <= ng - 5
         """,
         "simhash": f"""
             WITH toks AS (

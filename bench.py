@@ -194,6 +194,12 @@ def bench_queries(spark, sf_dir: str):
         queries = emb.filter(F.col("vec_id") % 200 == 0)
         return ANN.lsh_bucketed_topk(emb, queries, dim=64, k=5).count()
 
+    def q_ann_ivf():
+        queries = emb.filter(F.col("vec_id") % 200 == 0)
+        return ANN.ivf_topk(
+            emb, queries, dim=64, k=5, n_centroids=32, n_probe=6
+        ).count()
+
     def q_events_hourly():
         return (
             ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
@@ -210,6 +216,7 @@ def bench_queries(spark, sf_dir: str):
         ("simhash_fast", q_simhash_fast),
         ("ann_topk", q_ann_topk),
         ("ann_lsh", q_ann_lsh),
+        ("ann_ivf", q_ann_ivf),
         ("events_hourly", q_events_hourly),
     ]:
         # best of 2: single-run numbers are noisy on a shared box

@@ -161,6 +161,79 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    beside SRP-LSH: a coarse quantizer (Spark ML KMeans, JVM-side,
+    fixed seed) partitions the corpus into ``n_centroids`` cells; each
+    query probes its ``n_probe`` nearest cells and runs exact cosine
+    only inside them. Candidate volume ~ n_probe/n_centroids of the
+    corpus per query instead of all of it.
+
+    At 100 TB: fit the quantizer on a sample (``train_fraction``), keep
+    ``n_centroids ~ sqrt(corpus)``; the assignment pass is one KMeans
+    transform (whole-stage JVM), and the probe join shuffles only the
+    candidate cells. Recall vs brute force is pytest-verified (exact
+    values depend on the trained centroids, so there is no SQL oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    ml = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+        feats.alias("feat"),
+    )
+    train = ml if train_fraction >= 1.0 else ml.sample(train_fraction, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="feat", predictionCol="cid",
+    ).fit(train)
+    assigned = model.transform(ml).select("neighbor_id", "cvec", "cid")
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        d = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cid"),
+    )
+    cand = (
+        assigned.join(F.broadcast(q.select("query_id", "cid")), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    pairs = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    scored = pairs.withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def sign_buckets(vec: F.Column, n_planes: int = 4, n_tables: int = 4) -> F.Column:
     """Coordinate-sign LSH buckets, one per table — the axis-aligned
     special case of sign-random-projection (hyperplane = coordinate

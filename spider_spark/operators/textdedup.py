@@ -208,6 +208,51 @@ def simhash_bits(
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the public local-fingerprinting algorithm): hash every
+    char ``k``-gram of the normalized text, slide a window of ``w``
+    consecutive gram hashes, select the minimum of each window, output
+    the DISTINCT selected (position, hash) pairs. Guarantees a shared
+    fingerprint for any match of length >= w + k - 1 between documents.
+
+    All per-row (no shuffle until the output): grams and window minima
+    are higher-order array ops, O(len·w) per row with w small. Hash =
+    first 8 hex chars of md5 (fixed-length lowercase hex compares
+    lexicographically == numerically, so the same 'min' runs in the
+    DuckDB oracle). Tie rule: smallest (hash, position) — i.e. leftmost
+    minimal hash — a documented simplification of the paper's
+    rightmost-rule (either satisfies the winnowing guarantee).
+    """
+    s = TX.normalized_text(F.col(text_col))
+    # need at least one full window: len >= k + w - 1
+    staged = documents.select(F.col(id_col), s.alias("_s")).filter(
+        F.length(F.col("_s")) >= k + w - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(F.col("_s")) - k),
+        lambda i: F.struct(
+            F.substring(F.md5(F.substring(F.col("_s"), i + 1, k)), 1, 8).alias("h"),
+            i.cast("int").alias("pos"),
+        ),
+    )
+    g = staged.select(F.col(id_col), grams.alias("_g"))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_g")) - w),
+        lambda j: F.array_min(F.slice(F.col("_g"), j + 1, w)),
+    )
+    fp = g.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("f"))
+    return fp.select(
+        id_col, F.col("f.pos").alias("pos"), F.col("f.h").alias("fp")
+    )
+
+
 def simhash_bits_fast(
     documents: DataFrame,
     n_bits: int = 64,

@@ -598,3 +598,64 @@ def test_simhash_fast_equals_relational(spark):
             for r in TD.simhash_bits_fast(docs, n_bits=n_bits).collect()
         }
         assert fast == rel
+
+
+def test_winnow_fingerprints_matches_python_model(spark):
+    """Winnowing (Schleimer et al. SIGMOD'03) vs an independent pure-
+    Python implementation on the real corpus slice."""
+    import hashlib
+
+    from spider_spark.operators import textdedup as TD
+
+    def py_winnow(text, k=4, w=5):
+        s = " ".join(text.lower().split())
+        if len(s) < k + w - 1:
+            return set()
+        grams = [
+            (hashlib.md5(s[i : i + k].encode()).hexdigest()[:8], i)
+            for i in range(len(s) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(grams) - w + 1):
+            sel.add(min(grams[j : j + w]))
+        return {(p, h) for h, p in sel}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    got = {}
+    for r in TD.winnow_fingerprints(docs, k=4, w=5).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    want = {
+        r["doc_id"]: py_winnow(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+    # winnowing guarantee: every w-window of grams contains a selected pos
+    any_doc = next(iter(got))
+    positions = sorted(p for p, _ in got[any_doc])
+    assert positions[0] < 5
+    assert all(b - a <= 5 for a, b in zip(positions, positions[1:]))
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF coarse-quantizer ANN (Spark ML KMeans cells + n_probe
+    search) recovers most exact neighbors; like the SRP test this is a
+    recall bound, not equality — candidates are cell-limited."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import ann as ANN
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.ivf_topk(
+            emb, queries, dim=64, k=5, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"recall {recall:.2f}"
