@@ -259,17 +259,21 @@ def simhash_bits_fast(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Production SimHash twin of :func:`simhash_bits` — one
-    ``mapInPandas`` pass, numpy bit accumulation, no row explosion.
+    """SimHash twin of :func:`simhash_bits` — one ``mapInPandas`` pass,
+    numpy bit accumulation, no row explosion.
 
-    The relational form (kept as the DuckDB-oracle twin) explodes
-    tokens x n_bits rows: 64x the token count through the shuffle —
-    the wrong default at 100 TB. Here each Arrow batch is processed in
-    Python once: token -> md5 (cached per unique token within the
-    batch) -> ±1 bit vector -> per-doc accumulate -> sign. Output is
-    bit-identical to simhash_bits (cross-validated in
-    tests/test_operators_ext.py): bit p = (hex_digit(p/4) >> (p%4)) & 1,
-    majority with ties -> '0', docs with zero tokens omitted.
+    Honest measurement (sf0.1, 32 cores, BENCH): the relational form is
+    NOT actually shuffle-bound — Catalyst's map-side partial aggregate
+    combines the tokens x n_bits explosion before the exchange, so the
+    shuffle is ~docs x n_bits rows and the relational form stays
+    slightly faster at local bench scale (0.41s vs 0.57s @ 64 bits).
+    This twin exists as (a) an independent cross-validation of the
+    relational/oracle formulation (bit-identical, pytest-pinned) and
+    (b) the variant to prefer when the 64x row expansion becomes
+    CPU-bound (very long documents, wide signatures, or executors where
+    codegen'd md5-per-(token,bit-explode) dominates). Semantics:
+    bit p = (hex_digit(p/4) >> (p%4)) & 1 of md5(token), majority with
+    ties -> '0', docs with zero tokens omitted.
     """
     import re
 
@@ -303,17 +307,37 @@ def simhash_bits_fast(
             return v
 
         for pdf in batches:
-            ids, sigs = [], []
+            # flatten the batch: unique-token contrib matrix + (doc_no,
+            # tok_idx) index arrays, then ONE chunked np.add.at — the
+            # per-token python loop was the previous bottleneck
+            keep_ids: list = []
+            uniq: dict[str, int] = {}
+            tok_idx: list[int] = []
+            doc_no: list[int] = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks = tok_re.findall((t or "").lower())
                 if not toks:
                     continue  # relational twin emits no row either
-                acc = np.zeros(n_bits, dtype=np.int64)
+                d = len(keep_ids)
+                keep_ids.append(i)
                 for tk in toks:
-                    acc += contrib(tk)
-                ids.append(i)
-                sigs.append("".join("1" if x > 0 else "0" for x in acc))
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+                    tok_idx.append(uniq.setdefault(tk, len(uniq)))
+                    doc_no.append(d)
+            if not keep_ids:
+                yield pd.DataFrame({id_col: [], "simhash": []})
+                continue
+            cmat = np.empty((len(uniq), n_bits), dtype=np.int32)
+            for tk, j in uniq.items():
+                cmat[j] = contrib(tk)
+            acc = np.zeros((len(keep_ids), n_bits), dtype=np.int64)
+            ti = np.asarray(tok_idx, dtype=np.int64)
+            dn = np.asarray(doc_no, dtype=np.int64)
+            chunk = 1 << 18  # bound the (tokens, n_bits) temp to ~64 MB
+            for s in range(0, len(ti), chunk):
+                np.add.at(acc, dn[s : s + chunk], cmat[ti[s : s + chunk]])
+            zo = np.where(acc > 0, "1", "0")
+            sigs = ["".join(row) for row in zo]
+            yield pd.DataFrame({id_col: keep_ids, "simhash": sigs})
 
     return documents.select(id_col, text_col).mapInPandas(run, out_schema)
 
