@@ -138,6 +138,55 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch.select("host", "seq", "priority", "dispatch_rank")
 
 
+def q_global_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT_REQUESTS global cap (settings.py:24): after the
+    per-host budget, the fleet-wide top-200 by (priority DESC, seq ASC)
+    — planned as TakeOrderedAndProject, no global sort."""
+    fr = _frontier(spark, sf_dir).withColumn("discovered_seq", F.col("seq"))
+    fr = D.dedup_intra_batch(fr).withColumn("crawl_id", F.lit("q"))
+    hosts = fr.select("host", "host_id").distinct()
+    policy = hosts.select(
+        "host",
+        F.when(F.col("host_id") % 3 == 2, 1.0).otherwise(0.125).alias("crawl_delay_s"),
+        F.lit(16).alias("max_concurrency"),
+        F.array().cast("array<string>").alias("robots_disallow"),
+    )
+    dispatch, _deferred = P.schedule_wave(
+        fr, policy, wave_seconds=1.0, n_salts=4, global_cap=200
+    )
+    return dispatch.select("host", "seq", "priority")
+
+
+def q_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_last_number_only + remove_unicode_char +
+    convert_to_numeric (helper.py:124-138, 81-85, 338-357) — the §2.4
+    scalars not covered by a dedicated query."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    raw1 = F.concat(
+        F.lit("rooms "), (eid % 9).cast("string"),
+        F.lit(" size "), (eid % 200).cast("string"), F.lit(","),
+        F.element_at(
+            F.array(F.lit("25"), F.lit("5"), F.lit("75"), F.lit("0")),
+            (eid % 4 + 1).cast("int"),
+        ),
+    )
+    uni_raw = F.concat(
+        F.lit("caffé "), (eid % 50).cast("string"), F.lit(" – über")
+    )
+    num_raw = (
+        F.when(eid % 3 == 0, F.concat((eid % 100).cast("string"), F.lit(".5")))
+        .when(eid % 3 == 1, (eid % 1000).cast("string"))
+        .otherwise(F.lit("x"))
+    )
+    return ev.select(
+        eid.alias("eid"),
+        N.extract_last_number_only(raw1, ".", ",").try_cast("double").alias("last_num"),
+        N.remove_unicode_char(uni_raw).alias("ascii_text"),
+        N.convert_to_numeric(num_raw).alias("num"),
+    )
+
+
 def q_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retry re-queue: status in RETRY_HTTP_CODES and attempt < 3 →
     attempt+1 with dont_filter=true (settings.py:98-99 semantics)."""
@@ -1053,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
+        "global_cap": q_global_cap,
+        "misc_scalars": q_misc_scalars,
         "retry_policy": q_retry_policy,
         "robots_filter": q_robots_filter,
         "span_media_dedup": q_span_media_dedup,
@@ -1328,6 +1379,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM dedup)
             SELECT host, seq, priority, CAST(dispatch_rank AS INT) AS dispatch_rank
             FROM budgeted WHERE dispatch_rank <= budget
+        """,
+        "global_cap": f"""
+            WITH fr AS ({_FRONTIER_SQL}),
+            ranked AS (
+                SELECT fingerprint, seq, dont_filter, host, host_id, priority,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY seq, canonical_url) AS rn
+                FROM fr WHERE NOT dont_filter),
+            dedup AS (
+                SELECT * FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT fingerprint, seq, dont_filter, host, host_id, priority,
+                       1 AS rn FROM fr WHERE dont_filter),
+            budgeted AS (
+                SELECT host, seq, priority,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, seq ASC)
+                           AS dispatch_rank,
+                       least(16, CAST(floor(CAST(1.0 AS DOUBLE) /
+                           (CASE WHEN host_id % 3 = 2 THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(0.125 AS DOUBLE) END)) AS INT)) AS budget
+                FROM dedup)
+            SELECT host, seq, priority
+            FROM budgeted WHERE dispatch_rank <= budget
+            ORDER BY priority DESC, seq ASC LIMIT 200
+        """,
+        "misc_scalars": """
+            WITH t AS (
+                SELECT event_id AS eid,
+                       'rooms ' || (event_id % 9) || ' size ' || (event_id % 200)
+                           || ',' || (['25','5','75','0'])
+                               [CAST(event_id % 4 AS INT) + 1] AS raw1,
+                       'caffé ' || (event_id % 50) || ' – über' AS uni_raw,
+                       CASE WHEN event_id % 3 = 0 THEN (event_id % 100) || '.5'
+                            WHEN event_id % 3 = 1 THEN CAST(event_id % 1000 AS VARCHAR)
+                            ELSE 'x' END AS num_raw
+                FROM events),
+            p AS (SELECT eid,
+                         regexp_extract_all(replace(replace(raw1, '.', ''), ',', '.'),
+                             '(\\d+(?:\\.\\d+)?)', 1) AS nums,
+                         uni_raw, num_raw
+                  FROM t)
+            SELECT eid,
+                   try_cast(coalesce(nums[len(nums)], '0') AS DOUBLE) AS last_num,
+                   trim(regexp_replace(uni_raw, '[^\\x00-\\x7F]', ' ', 'g'))
+                       AS ascii_text,
+                   try_cast(num_raw AS DOUBLE) AS num
+            FROM p
         """,
         "retry_policy": f"""
             SELECT seq, status, CAST(attempt + 1 AS INT) AS attempt_next,

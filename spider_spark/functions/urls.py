@@ -165,8 +165,9 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
 #: lowercases the scheme while joining, so an uppercase-scheme base or
 #: href must take the fallback to match it byte-for-byte
 _ABS_RE = r"^[a-z][a-z0-9+.-]*://"
-#: dot-segment anywhere ("./x", "../x", "a/./b", trailing "/..", bare ".")
-_DOTSEG_RE = r"(?:^|/)\.{1,2}(?:/|$)"
+#: dot-segment anywhere ("./x", "../x", "a/./b", trailing "/..", bare ".",
+#: and dot segments that END at the query/fragment like "a/.?k=v")
+_DOTSEG_RE = r"(?:^|/)\.{1,2}(?:[/?#]|$)"
 
 
 def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
@@ -190,9 +191,14 @@ def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     # segments (urljoin normalizes those during a relative join)
     origin = base.str.extract(r"^([a-z][a-z0-9+.-]*://[^/?#]*)", expand=False)
     base_path = base.str.split("#").str[0].str.split("?").str[0]
-    base_ok = origin.notna() & (origin.str.len() > base.str.extract(
-        r"^([a-z][a-z0-9+.-]*://)", expand=False
-    ).str.len().fillna(0)) & ~base_path.str.contains(_DOTSEG_RE, regex=True)
+    # NaN rows (no scheme match) are masked by origin.notna(); the
+    # length comparison enforces a non-empty netloc
+    scheme_len = base.str.extract(r"^([a-z][a-z0-9+.-]*://)", expand=False).str.len()
+    base_ok = (
+        origin.notna()
+        & (origin.str.len() > scheme_len)
+        & ~base_path.str.contains(_DOTSEG_RE, regex=True)
+    )
 
     # urljoin collapses empty path segments while merging a plain
     # relative href, so a base path containing '//' takes the fallback
@@ -204,9 +210,12 @@ def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     href_dotty = href.str.contains(_DOTSEG_RE, regex=True)
     is_abs = href.str.match(_ABS_RE) & ~href_dotty
     is_root = href.str.match(r"^/(?!/)") & base_ok & ~href_dotty
+    # urljoin also collapses '//' inside a PLAIN-relative href during
+    # the segment merge (root-relative hrefs keep theirs) — fallback
     is_plain = (
         href.str.match(r"^[^/:?#]")
         & ~href.str.contains(":", regex=False)
+        & ~href.str.contains("//", regex=False)
         & base_dir_ok
         & ~href_dotty
     )
