@@ -981,6 +981,39 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSS/XPath selector subset (operators/selectors.py — the
+    response.css / response.xpath analog, SURVEY.md §2.3) evaluated
+    over deterministic HTML; the oracle reconstructs the expected
+    extractions from the same formulas."""
+    from spider_spark.operators.selectors import css_extract, xpath_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="listing"><h2 class="title">T'),
+        F.col("doc_id").cast("string"),
+        F.lit('</h2><span class="price">€ '),
+        (F.col("doc_id") % 3000 + 300).cast("string"),
+        F.lit('</span><a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">more</a><div class="desc"><p>'),
+        F.col("text"),
+        F.lit("</p></div></div>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select(
+        "doc_id",
+        F.element_at(css_extract(F.col("html"), "h2.title::text"), 1).alias("title"),
+        F.element_at(
+            xpath_extract(F.col("html"), '//span[@class="price"]/text()'), 1
+        ).alias("price_str"),
+        F.element_at(css_extract(F.col("html"), "div.listing > a::attr(href)"), 1).alias(
+            "href"
+        ),
+        F.element_at(css_extract(F.col("html"), "div.desc p"), 1).alias("desc"),
+    )
+
+
 def q_fetch_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host per-minute fetch rates (batch twin of the streaming
     host_fetch_rates — identical plan runs under readStream)."""
@@ -1146,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "itemclear": q_itemclear,
         "autothrottle": q_autothrottle,
         "html_parse": q_html_parse,
+        "css_select": q_css_select,
         "fetch_rates": q_fetch_rates,
         "geocode": q_geocode,
         "fx_convert": q_fx_convert,
@@ -1981,6 +2015,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 1, 'text', 'more', NULL, 1 FROM base
             UNION ALL
             SELECT url, 1, 'media', NULL, '/i/' || m || '.jpg', 2 FROM base
+        """,
+        "css_select": """
+            SELECT doc_id,
+                   'T' || doc_id AS title,
+                   '€ ' || (doc_id % 3000 + 300) AS price_str,
+                   '/d/' || doc_id AS href,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS "desc"
+            FROM documents
         """,
         "fetch_rates": """
             SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,

@@ -659,3 +659,33 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_selector_engine_unit():
+    """CSS/XPath subset (operators/selectors.py) — the lxml-free
+    response.css / response.xpath analog (der_immo_tip.py:32-47)."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        '<html><head><title>skip</title></head><body>'
+        '<div id="main" class="wrap">'
+        '<div class="item featured"><a class="title" href="/d/1">First  One</a>'
+        '<span class="price">€ 1.200</span><img src="/i/1.jpg"/></div>'
+        '<div class="item"><a class="title" href="/d/2">Second</a>'
+        '<span class="price">€ 900</span></div>'
+        '<p>Nice <b>flat</b> here</p>'
+        "</div></body></html>"
+    )
+    assert select_html(html, "div.item a.title::text") == ["First One", "Second"]
+    assert select_html(html, "div.item > a.title::attr(href)") == ["/d/1", "/d/2"]
+    assert select_html(html, ".price::text") == ["€ 1.200", "€ 900"]
+    assert select_html(html, "#main p") == ["Nice flat here"]
+    assert select_html(html, "img::attr(src)") == ["/i/1.jpg"]
+    assert select_html(html, "[class=wrap] span::text") == ["€ 1.200", "€ 900"]
+    assert select_html(
+        html, '//div[@class="item featured"]//a/@href', lang="xpath"
+    ) == ["/d/1"]
+    assert select_html(html, "//span/text()", lang="xpath") == ["€ 1.200", "€ 900"]
+    assert select_html(html, "//p//b/text()", lang="xpath") == ["flat"]
+    # misnested / void tags tolerated
+    assert select_html("<p>a<br>b</p>", "p::text") == ["a b"]
