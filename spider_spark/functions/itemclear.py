@@ -34,10 +34,22 @@ WORD_NUMBERS = {
 
 @dataclass
 class FieldSpec:
-    """One output field's recipe (mirrors ItemClear keyword args)."""
+    """One output field's recipe (mirrors ItemClear keyword args).
+
+    The raw value comes either from ``source`` (a column holding the
+    already-extracted string) or, like the reference's ItemClear
+    ``input_value`` xpath (helper.py:533-556), directly from an HTML
+    column via ``css``/``xpath`` (operators/selectors.py subset):
+    ``multi=False`` takes the first match (input_type 'F'),
+    ``multi=True`` keeps the whole list (input_type 'M' — images).
+    """
 
     name: str
-    source: str  # input column with the raw extracted string
+    source: str = ""  # input column with the raw extracted string
+    css: str | None = None  # selector over the html column instead
+    xpath: str | None = None
+    html_source: str = "html"
+    multi: bool = False
     replaces: list[tuple[str, str]] = field(default_factory=list)  # replace_list
     split: tuple[str, int] | None = None  # split_list: (separator, index, 1-based; negative from end)
     lower: bool = False
@@ -54,7 +66,19 @@ class FieldSpec:
 
 def compile_field(spec: FieldSpec) -> Column:
     """Compile one FieldSpec to a single column expression."""
-    col = F.col(spec.source)
+    if spec.css or spec.xpath:
+        from ..operators.selectors import css_extract, xpath_extract
+
+        arr = (
+            css_extract(F.col(spec.html_source), spec.css)
+            if spec.css
+            else xpath_extract(F.col(spec.html_source), spec.xpath)
+        )
+        if spec.multi:
+            return arr.alias(spec.name)
+        col = F.try_element_at(arr, F.lit(1))
+    else:
+        col = F.col(spec.source)
     if spec.strip_html:
         col = N.strip_tags(col)
     for a, b in spec.replaces:

@@ -20,6 +20,7 @@ pending work ends the crawl.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -186,11 +187,9 @@ class CrawlEngine:
             new_links = new_links.withColumn("wave", F.lit(wave))
             admitted = self._admit(new_links, wave)
 
-            self.store.write_wave("documents", wave, docs)
             next_pending = deferred.unionByName(
                 admitted.select(*deferred.columns)
             ).unionByName(retry.select(*deferred.columns))
-            self.store.write_wave("frontier", wave, next_pending)
 
             # ONE stat action per wave: both sides are tiny aggregates
             # over persisted DataFrames — unioning them folds what was
@@ -210,7 +209,23 @@ class CrawlEngine:
                     ).cast("long")
                 ).alias("x"),
             ).select(F.lit("fetched").alias("side"), "n", "x")
-            stats = {r["side"]: r for r in astats.unionByName(fstats).collect()}
+            # the docs write, frontier write and stat collect are
+            # independent jobs over persisted inputs — submit them
+            # concurrently from driver threads (Spark schedules them in
+            # one pool) so their fixed per-job latencies overlap instead
+            # of summing; the manifest commit stays strictly after both
+            # writes, so crash atomicity is unchanged
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                docs_fut = pool.submit(self.store.write_wave, "documents", wave, docs)
+                frontier_fut = pool.submit(
+                    self.store.write_wave, "frontier", wave, next_pending
+                )
+                stats_fut = pool.submit(
+                    lambda: {r["side"]: r for r in astats.unionByName(fstats).collect()}
+                )
+                docs_fut.result()
+                frontier_fut.result()
+                stats = stats_fut.result()
             n_admitted = stats["admitted"]["n"]
             next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
             n_fetched = stats["fetched"]["n"]

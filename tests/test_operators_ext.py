@@ -689,3 +689,33 @@ def test_selector_engine_unit():
     assert select_html(html, "//p//b/text()", lang="xpath") == ["flat"]
     # misnested / void tags tolerated
     assert select_html("<p>a<br>b</p>", "p::text") == ["a b"]
+
+
+def test_itemclear_with_selectors(spark):
+    """FieldSpec css/xpath mode: the ItemClear input_value-xpath shape
+    (helper.py:533-556) — raw values extracted straight from an html
+    column, 'F' (first) and 'M' (many) semantics."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.itemclear import FieldSpec, apply_specs
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<div class="l"><span class="rent">1.250,50 €</span>'
+                '<img src="/i/a.jpg"/><img src="/i/b.jpg"/>'
+                '<p class="d">mit grossem Balkon</p></div>',
+            )
+        ],
+        "id long, html string",
+    )
+    specs = [
+        FieldSpec("rent", css="span.rent::text", get_num=True),
+        FieldSpec("images", css="img::attr(src)", multi=True),
+        FieldSpec("balcony", xpath='//p[@class="d"]/text()', true_words=["balkon"]),
+    ]
+    row = apply_specs(df, specs, keep=["id"]).collect()[0]
+    assert row["rent"] == 1250.5
+    assert row["images"] == ["/i/a.jpg", "/i/b.jpg"]
+    assert row["balcony"] is True
