@@ -687,6 +687,37 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition — the training-data gate end to end: text
+    stats + lang id + quality -> exact-dup survivors (keep min doc_id)
+    -> MinHash-LSH near-dup losers dropped (keep the smaller id of
+    each candidate pair) -> quality/length thresholds. Every stage is
+    an operator that also has its own contract query; this pins that
+    they compose."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(text).alias("n_tokens"),
+        TX.lang_id(text).alias("lang_pred"),
+        TX.quality_score(text).alias("quality"),
+        TX.doc_fingerprint(text).alias("fingerprint"),
+    )
+    keep = TD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    losers = (
+        TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        stats.join(keep, "doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .filter((F.col("quality") >= 0.3) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "source", "lang_pred", "n_tokens", "quality")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the ANN correctness baseline). Rank on
     the ROUNDED cosine so cross-engine float noise cannot flip ranks."""
@@ -1167,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
+        "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
@@ -1879,6 +1911,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand)
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """.replace("{toks}", _TOKENS_SQL),
+        "corpus_curation": f"""
+            WITH t AS (SELECT doc_id, source, text, {_TOKENS_SQL} AS toks
+                       FROM documents),
+            st AS (
+                SELECT doc_id, source,
+                       CAST(len(toks) AS INT) AS n_tokens,
+                       CAST(len(toks) AS DOUBLE) AS n_tok,
+                       CAST(length(text) AS DOUBLE) AS n_char,
+                       CAST(len(list_filter(toks, x -> list_contains(
+                            {_STOPWORDS_SQL['en']}, x))) AS DOUBLE) AS sw_en,
+                       len(list_filter(toks, x -> list_contains(
+                            {_STOPWORDS_SQL['de']}, x))) AS sw_de,
+                       len(list_filter(toks, x -> list_contains(
+                            {_STOPWORDS_SQL['fr']}, x))) AS sw_fr,
+                       len(list_filter(toks, x -> list_contains(
+                            {_STOPWORDS_SQL['it']}, x))) AS sw_it,
+                       len(list_filter(toks, x -> list_contains(
+                            {_STOPWORDS_SQL['nl']}, x))) AS sw_nl,
+                       CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1))
+                            AS DOUBLE) AS p,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS fp
+                FROM t),
+            scored AS (
+                SELECT doc_id, source, n_tokens, fp,
+                       CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_it, sw_nl) <= 0
+                                 THEN 'und'
+                            WHEN sw_en = greatest(sw_en, sw_de, sw_fr, sw_it, sw_nl)
+                                 THEN 'en'
+                            WHEN sw_de = greatest(sw_en, sw_de, sw_fr, sw_it, sw_nl)
+                                 THEN 'de'
+                            WHEN sw_fr = greatest(sw_en, sw_de, sw_fr, sw_it, sw_nl)
+                                 THEN 'fr'
+                            WHEN sw_it = greatest(sw_en, sw_de, sw_fr, sw_it, sw_nl)
+                                 THEN 'it'
+                            ELSE 'nl' END AS lang_pred,
+                       round(0.4 * least(1.0, n_tok / 100.0)
+                           + 0.4 * least(1.0, 8.0 * (CASE WHEN n_tok > 0
+                                 THEN sw_en / n_tok ELSE 0.0 END))
+                           + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_char > 0
+                                 THEN p / n_char ELSE 0.0 END))), 4) AS quality
+                FROM st),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM scored GROUP BY fp),
+            s5 AS (SELECT doc_id, {shingles5} AS sh FROM t WHERE len(toks) >= 5),
+            sigs AS (
+                SELECT doc_id, {mh(0)} AS mh0, {mh(1)} AS mh1, {mh(2)} AS mh2,
+                       {mh(3)} AS mh3, {mh(4)} AS mh4, {mh(5)} AS mh5,
+                       {mh(6)} AS mh6, {mh(7)} AS mh7
+                FROM s5),
+            banded AS (
+                SELECT doc_id, b.band, b.bh FROM sigs,
+                LATERAL (
+                    SELECT unnest([0,1,2,3]) AS band,
+                           unnest([{band(0, 2)}, {band(1, 2)},
+                                   {band(2, 2)}, {band(3, 2)}]) AS bh) b),
+            losers AS (
+                SELECT DISTINCT r.doc_id AS doc_id
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+            SELECT s.doc_id, s.source, s.lang_pred, s.n_tokens, s.quality
+            FROM scored s
+            JOIN keepers k ON k.doc_id = s.doc_id
+            LEFT JOIN losers x ON x.doc_id = s.doc_id
+            WHERE x.doc_id IS NULL AND s.quality >= 0.3 AND s.n_tokens >= 10
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id % 100 = 0),
