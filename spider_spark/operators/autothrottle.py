@@ -70,6 +70,18 @@ def updated_policy(
     )
 
 
+def with_latency(fetched: DataFrame, seed: int = 42) -> DataFrame:
+    """The latency frame the policy fold should adapt to: pass the
+    fetch backend's MEASURED ``latency_ms`` through untouched when
+    present (fetch_http measures one); only the synthetic join backend
+    — which has no latency — gets the deterministic stand-in. Keeps
+    the policy from adapting to hash noise when real measurements
+    exist (round-1 advice finding)."""
+    if "latency_ms" in fetched.columns:
+        return fetched
+    return synthetic_latency(fetched, seed)
+
+
 def synthetic_latency(fetched: DataFrame, seed: int = 42) -> DataFrame:
     """Deterministic per-fetch latency for the synthetic backend:
     100-1500 ms derived from xxhash64(canonical_url) — stable across

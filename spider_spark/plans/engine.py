@@ -256,17 +256,9 @@ class CrawlEngine:
                 # wave's scheduler broadcast; the dim is tiny, so the
                 # update collects into a fresh local DataFrame to keep
                 # the policy lineage flat across many waves
-                # only synthesize latency when the fetch stage didn't
-                # measure one (fetch_http emits a real latency_ms; the
-                # synthetic join backend does not) — otherwise the
-                # policy would adapt to hash noise instead of the
-                # observed latency
-                lat = (
-                    fetched
-                    if "latency_ms" in fetched.columns
-                    else AT.synthetic_latency(fetched)
-                )
-                stats = AT.wave_latency_stats(lat)
+                # measured latency passes through; only the synthetic
+                # backend (no latency column) gets the stand-in
+                stats = AT.wave_latency_stats(AT.with_latency(fetched))
                 updated = AT.updated_policy(self.policy, stats)
                 self.policy = self.spark.createDataFrame(
                     updated.collect(), schema=schemas.HOST_POLICY

@@ -719,3 +719,25 @@ def test_itemclear_with_selectors(spark):
     assert row["rent"] == 1250.5
     assert row["images"] == ["/i/a.jpg", "/i/b.jpg"]
     assert row["balcony"] is True
+
+
+def test_autothrottle_latency_passthrough(spark):
+    """with_latency: a measured latency_ms column passes through
+    untouched (the HTTP backend measures one); the synthetic backend's
+    frame (no column) gets the deterministic stand-in."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators import autothrottle as AT
+
+    measured = spark.createDataFrame(
+        [("h.example", "http://h.example/", 200, 420.0)],
+        "host string, canonical_url string, status int, latency_ms double",
+    )
+    out = AT.with_latency(measured).collect()
+    assert out[0]["latency_ms"] == 420.0  # NOT overwritten by hash noise
+
+    synthetic = measured.drop("latency_ms")
+    out2 = AT.with_latency(synthetic).collect()
+    assert 100 <= out2[0]["latency_ms"] <= 1500  # deterministic stand-in
+    # and it is deterministic
+    assert AT.with_latency(synthetic).collect()[0]["latency_ms"] == out2[0]["latency_ms"]
