@@ -802,6 +802,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spans_media_refs (operators/media.py): the media fetch list —
+    explode media spans, one row per distinct ref with the first
+    (doc_id, offset) owner and the reference count. Spans derived the
+    same way as span_media_dedup."""
+    from spider_spark.operators.media import spans_media_refs
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("offset", "tok")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.col("offset"),
+        F.when(F.col("offset") % 3 == 0, F.lit("media")).otherwise(F.lit("text")).alias(
+            "kind"
+        ),
+        F.when(
+            F.col("offset") % 3 == 0,
+            F.concat(F.lit("img/"), (F.col("doc_id") % 9).cast("string"), F.lit("/"),
+                     (F.col("offset") % 5).cast("string")),
+        ).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+    )
+    arr = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("offset", "kind", "media_ref"))).alias("raw")
+    )
+    docs_spans = arr.select(
+        "doc_id",
+        F.transform(
+            F.col("raw"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return spans_media_refs(docs_spans)
+
+
 def q_js_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JS-literal extraction (js2xml analog, SURVEY.md §2.3): key:value
     literals out of a deterministic script blob, exploded to rows."""
@@ -1203,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "media_refs": q_media_refs,
         "js_literals": q_js_literals,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -2022,6 +2064,19 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "media_refs": f"""
+            WITH toks AS (
+                SELECT doc_id, u.o - 1 AS "offset"
+                FROM (SELECT doc_id, {_TOKENS_SQL} AS tl FROM documents) d,
+                     LATERAL (SELECT unnest(tl) AS tok,
+                                     generate_subscripts(tl, 1) AS o) u),
+            m AS (SELECT doc_id, "offset",
+                         'img/' || (doc_id % 9) || '/' || ("offset" % 5)
+                             AS media_ref
+                  FROM toks WHERE "offset" % 3 = 0)
+            SELECT media_ref, min(doc_id) AS first_doc_id, count(*) AS n_refs
+            FROM m GROUP BY media_ref
         """,
         "js_literals": r"""
             WITH s AS (
