@@ -41,6 +41,39 @@ def with_user_agent(df: DataFrame) -> DataFrame:
     )
 
 
+#: members per country pool (the reference rotates inside a vendor's
+#: country-keyed pool, middlewares.py:129-151)
+N_PROXIES_PER_POOL = 16
+
+
+def with_proxy(dispatch: DataFrame, spiders_dim: DataFrame) -> DataFrame:
+    """Country-keyed proxy routing (middlewares.py:114-168; 273 spiders
+    enable PROXY_ON via custom_settings): requests whose site config
+    carries a ``proxy_country`` get a deterministic member of that
+    country's pool — ``random.choice`` in the reference, fingerprint
+    hash here (same distribution, reproducible across retries/resumes,
+    same divergence note as UA rotation). Sites without proxy config
+    get NULL. The sandbox never dials a proxy; the column is the
+    routing decision the production HTTP backend consumes per request.
+    """
+    dim = spiders_dim.select("source", "proxy_country")
+    out = dispatch.join(F.broadcast(dim), "source", "left")
+    return out.withColumn(
+        "proxy",
+        F.when(
+            F.col("proxy_country").isNotNull(),
+            F.concat(
+                F.lit("proxy-"),
+                F.col("proxy_country"),
+                F.lit("-"),
+                F.pmod(F.xxhash64("fingerprint"), F.lit(N_PROXIES_PER_POOL)).cast(
+                    "string"
+                ),
+            ),
+        ),
+    ).drop("proxy_country")
+
+
 def canonical_web(web_pages: DataFrame) -> DataFrame:
     """Key the synthetic web by canonical URL (cache this — reused every wave)."""
     from ..functions.urls import canonicalize_udf

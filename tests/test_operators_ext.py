@@ -741,3 +741,91 @@ def test_autothrottle_latency_passthrough(spark):
     assert 100 <= out2[0]["latency_ms"] <= 1500  # deterministic stand-in
     # and it is deterministic
     assert AT.with_latency(synthetic).collect()[0]["latency_ms"] == out2[0]["latency_ms"]
+
+
+def test_streaming_frontier_matches_batch(spark, tmp_path):
+    """Streaming admission (readStream -> canonicalize/fingerprint ->
+    dropDuplicatesWithinWatermark) admits exactly the batch path's
+    fingerprint set — the continuous twin of the wave loop's dedup."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions.urls import with_url_identity
+    from spider_spark.operators.dedup import dedup_intra_batch
+    from spider_spark.streaming.frontier import admit_stream, read_candidate_stream
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    rows = []
+    for i in range(300):
+        page = i % 120  # forces duplicates
+        rows.append(
+            {
+                "url": f"http://H{page % 7}.EXAMPLE:80/p/{page}?b=2&a=1#s",
+                "discovered_ts": f"2026-01-01T00:{i % 60:02d}:00.000Z",
+                "source": "s",
+            }
+        )
+    (src / "part-0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = admit_stream(read_candidate_stream(spark, str(src)), n_buckets=8)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("adm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fingerprint"]
+        for r in spark.sql("SELECT fingerprint FROM adm_stream").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["url"], i, False) for i, r in enumerate(rows)],
+        "url string, discovered_seq long, dont_filter boolean",
+    )
+    want = {
+        r["fingerprint"]
+        for r in dedup_intra_batch(with_url_identity(batch, 8))
+        .select("fingerprint")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 120
+
+
+def test_proxy_routing(spark):
+    """Country-keyed proxy assignment (middlewares.py:114-168):
+    deterministic pool member for proxied sites, NULL otherwise."""
+    from spider_spark.sources.fetch import N_PROXIES_PER_POOL, with_proxy
+    from spider_spark.sources.registry import SPIDERS_DIM
+
+    dim = spark.createDataFrame(
+        [
+            ("site_de", "de", "de", ".", ",", None, "de", ["http://x/"]),
+            ("site_us", "us", "en", ",", ".", None, None, ["http://y/"]),
+        ],
+        SPIDERS_DIM,
+    )
+    disp = spark.createDataFrame(
+        [("site_de", "aa" * 20), ("site_de", "bb" * 20), ("site_us", "cc" * 20)],
+        "source string, fingerprint string",
+    )
+    rows = {
+        (r["source"], r["fingerprint"]): r["proxy"]
+        for r in with_proxy(disp, dim).collect()
+    }
+    p1 = rows[("site_de", "aa" * 20)]
+    assert p1 is not None and p1.startswith("proxy-de-")
+    assert int(p1.rsplit("-", 1)[1]) < N_PROXIES_PER_POOL
+    assert rows[("site_us", "cc" * 20)] is None
+    # deterministic: same fingerprint -> same pool member
+    again = {
+        (r["source"], r["fingerprint"]): r["proxy"]
+        for r in with_proxy(disp, dim).collect()
+    }
+    assert again == rows
