@@ -179,11 +179,28 @@ def q_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(eid % 3 == 1, (eid % 1000).cast("string"))
         .otherwise(F.lit("x"))
     )
+    # folded in (round 3, to keep the registry within the driver's
+    # check budget): currency_parser symbol→ISO with the
+    # AUD-iff-australia rule (helper.py:140-169)
+    m = eid % 7
+    rent = (
+        F.when(m == 0, F.lit("€120"))
+        .when(m == 1, F.lit("£45"))
+        .when(m == 2, F.lit("$30"))
+        .when(m == 3, F.lit("TL99"))
+        .when(m == 4, F.lit("CHF 5"))
+        .when(m == 5, F.lit("QAR 7"))
+        .otherwise(F.lit("idk"))
+    )
+    src = F.when(F.col("user_id") % 2 == 0, F.lit("rent_australia_com")).otherwise(
+        F.lit("rent_us_com")
+    )
     return ev.select(
         eid.alias("eid"),
         N.extract_last_number_only(raw1, ".", ",").try_cast("double").alias("last_num"),
         N.remove_unicode_char(uni_raw).alias("ascii_text"),
         N.convert_to_numeric(num_raw).alias("num"),
+        N.currency_parser(rent, src).alias("currency"),
     )
 
 
@@ -289,7 +306,9 @@ def q_span_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_number_only with '.' thousands / ',' scale separators over
-    'about <k>.<lpad3> m2' strings (helper.py:88-102 semantics)."""
+    'about <k>.<lpad3> m2' strings (helper.py:88-102 semantics); folded
+    in (round 3): get_price — min of both separator readings, max if
+    min<10 (helper.py:47-61)."""
     li = _t(spark, sf_dir, "lineitem")
     s = F.concat(
         F.lit("about "),
@@ -298,18 +317,7 @@ def q_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
         F.lit(",5 m2"),
     )
-    return li.select(
-        F.col("l_orderkey").alias("okey"),
-        F.col("l_linenumber").alias("lnum"),
-        N.extract_number_only(s, ".", ",").try_cast("double").alias("num"),
-    ).distinct()
-
-
-def q_get_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_price: min of both separator readings, max if min<10
-    (helper.py:47-61)."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = F.concat(
+    ps = F.concat(
         (F.col("l_orderkey") % 9).cast("string"),
         F.lit("."),
         F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
@@ -317,30 +325,9 @@ def q_get_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lnum"),
-        N.get_price(s).cast("long").alias("price"),
+        N.extract_number_only(s, ".", ",").try_cast("double").alias("num"),
+        N.get_price(ps).cast("long").alias("price"),
     ).distinct()
-
-
-def q_currency_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """currency_parser symbol→ISO with the AUD-iff-australia rule
-    (helper.py:140-169)."""
-    ev = _t(spark, sf_dir, "events")
-    m = F.col("event_id") % 7
-    rent = (
-        F.when(m == 0, F.lit("€120"))
-        .when(m == 1, F.lit("£45"))
-        .when(m == 2, F.lit("$30"))
-        .when(m == 3, F.lit("TL99"))
-        .when(m == 4, F.lit("CHF 5"))
-        .when(m == 5, F.lit("QAR 7"))
-        .otherwise(F.lit("idk"))
-    )
-    src = F.when(F.col("user_id") % 2 == 0, F.lit("rent_australia_com")).otherwise(
-        F.lit("rent_us_com")
-    )
-    return ev.select(
-        F.col("event_id").alias("eid"), N.currency_parser(rent, src).alias("currency")
-    )
 
 
 def q_energy_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +490,64 @@ def q_utilities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpath_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 selector parity forms over deterministic HTML — each
+    column exercises an idiom the reference hits most (VERDICT r2 item
+    1): contains(text(),..) + following-sibling:: (the
+    //td[..]/following-sibling::td/text() key-value-table shape, 1,531
+    spiders), contains(.,..) (//script[contains(.,'LatLng')] coords),
+    contains(@class,..), [last()], CSS :nth-child(n), :contains(), and
+    .re()/.re_first() composition (116 spiders). The oracle
+    reconstructs expected values from the same doc_id formulas."""
+    from spider_spark.operators.selectors import css_extract, css_re, re_first, xpath_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lat = F.concat(F.lit("48."), F.lpad(((did * 37) % 10000).cast("string"), 4, "0"))
+    lng = F.concat(F.lit("2."), F.lpad(((did * 53) % 10000).cast("string"), 4, "0"))
+    html = F.concat(
+        F.lit('<div class="card rental"><table><tr><td>Zimmer</td><td>'),
+        (did % 5 + 1).cast("string"),
+        F.lit("</td></tr><tr><td>Miete</td><td>"),
+        (did % 2500 + 250).cast("string"),
+        F.lit(" €</td></tr></table><ul><li>Surface habitable "),
+        (did % 120 + 18).cast("string"),
+        F.lit(" m2</li><li>Balcon : "),
+        F.when(did % 2 == 0, F.lit("oui")).otherwise(F.lit("non")),
+        F.lit("</li></ul><dl><dt>Etage</dt><dd>EG</dd><dd>"),
+        (did % 6).cast("string"),
+        F.lit("</dd></dl><script>var map = L.LatLng("),
+        lat, F.lit(", "), lng,
+        F.lit(');</script><div class="imgs"><img src="/i/'),
+        did.cast("string"),
+        F.lit('_1.jpg"><img src="/i/'),
+        did.cast("string"),
+        F.lit('_2.jpg"></div></div>'),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    h = F.col("html")
+    first = lambda c: F.try_element_at(c, F.lit(1))
+    return staged.select(
+        "doc_id",
+        first(
+            xpath_extract(h, "//td[contains(text(),'Zimmer')]/following-sibling::td/text()")
+        ).alias("rooms"),
+        first(
+            xpath_extract(h, "//td[contains(text(),'Miete')]/following-sibling::td/text()")
+        ).alias("rent_str"),
+        first(css_re(h, "li:contains('Surface')::text", r"\d+")).alias("surface"),
+        first(xpath_extract(h, "//li[contains(.,'Balcon')]/text()")).alias("balcon"),
+        first(xpath_extract(h, "//dt/following-sibling::dd[last()]/text()")).alias(
+            "floor_last"
+        ),
+        re_first(h, "//script[contains(.,'LatLng')]/text()", r"LatLng\((\d+\.\d+)", "xpath").alias("lat"),
+        first(css_extract(h, "div.imgs img:nth-child(2)::attr(src)")).alias("img2"),
+        first(
+            xpath_extract(h, "//div[contains(@class,'card')]//dd[1]/text()")
+        ).alias("floor_first"),
+    )
+
+
 def q_sq_feet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sq_feet_to_meters int(feet/10.764) + weekly→monthly rent*4
     (helper.py:36-44,649-651)."""
@@ -622,24 +667,19 @@ def q_image_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + language ID + quality scoring in one projection
+    (round-3 fold of the former token_stats / lang_id / quality_score
+    queries — same operators, one registry row)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
         TX.punct_count(F.col("text")).alias("n_punct"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
     )
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1108,35 +1148,33 @@ def q_fetch_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geocode enrichment as a broadcast dim join (replaces the
-    reference's per-row ArcGIS RPC, helper.py:366-387)."""
-    from spider_spark.functions.enrich import enrich_geocode, geo_fixture_df
-
-    ev = _t(spark, sf_dir, "events")
-    listings = ev.select(
-        F.col("event_id").alias("eid"),
-        (F.col("event_id") % 200).cast("int").alias("address_key"),
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-channel enrichment as TWO broadcast dim joins in one pass
+    (round-3 fold of the former geocode / fx_convert queries): geocode
+    replaces the reference's per-row ArcGIS RPC (helper.py:366-387),
+    FX conversion replaces currencyExchangeRates (helper.py:453-485)."""
+    from spider_spark.functions.enrich import (
+        convert_to_eur,
+        enrich_geocode,
+        fx_rates_df,
+        geo_fixture_df,
     )
-    out = enrich_geocode(listings, geo_fixture_df(spark))
-    return out.select("eid", "latitude", "longitude", "zipcode", "city")
-
-
-def q_fx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FX conversion via broadcast rates dim (helper.py:453-485)."""
-    from spider_spark.functions.enrich import convert_to_eur, fx_rates_df
 
     ev = _t(spark, sf_dir, "events")
     curs = ["EUR", "GBP", "USD", "AUD", "TRY", "CHF", "QAR", "XXX"]
     rows = ev.select(
         F.col("event_id").alias("eid"),
+        (F.col("event_id") % 200).cast("int").alias("address_key"),
         F.element_at(
             F.array(*[F.lit(c) for c in curs]), (F.col("event_id") % 8 + 1).cast("int")
         ).alias("currency"),
         ((F.col("event_id") % 4000) + 100).cast("double").alias("rent"),
     )
-    return convert_to_eur(rows, fx_rates_df(spark)).select(
-        "eid", "currency", "rent", "rent_eur"
+    out = enrich_geocode(rows, geo_fixture_df(spark))
+    out = convert_to_eur(out, fx_rates_df(spark))
+    return out.select(
+        "eid", "latitude", "longitude", "zipcode", "city",
+        "currency", "rent", "rent_eur",
     )
 
 
@@ -1203,7 +1241,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver checks entries front-to-back
+    # within its budget (r2 stopped at 50), so the queries it has never
+    # validated — the end-to-end crawl golden-file check plus the
+    # round-3 additions/folds — come FIRST (VERDICT r2 item 2).
     return {
+        "crawl_end_to_end": q_crawl_end_to_end,
+        "fetch_rates": q_fetch_rates,
+        "enrich": q_enrich,
+        "xpath_select": q_xpath_select,
+        "text_metrics": q_text_metrics,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
@@ -1213,8 +1260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "span_media_dedup": q_span_media_dedup,
         "extract_number": q_extract_number,
-        "get_price": q_get_price,
-        "currency_parser": q_currency_parser,
         "energy_label": q_energy_label,
         "format_date": q_format_date,
         "extract_date": q_extract_date,
@@ -1229,9 +1274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_first_join": q_take_first_join,
         "position_counter": q_position_counter,
         "image_dedup_count": q_image_dedup_count,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1254,10 +1296,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autothrottle": q_autothrottle,
         "html_parse": q_html_parse,
         "css_select": q_css_select,
-        "fetch_rates": q_fetch_rates,
-        "geocode": q_geocode,
-        "fx_convert": q_fx_convert,
-        "crawl_end_to_end": q_crawl_end_to_end,
     }
 
 
@@ -1522,18 +1560,33 @@ def oracle_sql() -> dict[str, str]:
                        'caffé ' || (event_id % 50) || ' – über' AS uni_raw,
                        CASE WHEN event_id % 3 = 0 THEN (event_id % 100) || '.5'
                             WHEN event_id % 3 = 1 THEN CAST(event_id % 1000 AS VARCHAR)
-                            ELSE 'x' END AS num_raw
+                            ELSE 'x' END AS num_raw,
+                       CASE event_id % 7 WHEN 0 THEN '€120' WHEN 1 THEN '£45'
+                            WHEN 2 THEN '$30' WHEN 3 THEN 'TL99' WHEN 4 THEN 'CHF 5'
+                            WHEN 5 THEN 'QAR 7' ELSE 'idk' END AS rent,
+                       CASE WHEN user_id % 2 = 0 THEN 'rent_australia_com'
+                            ELSE 'rent_us_com' END AS src
                 FROM events),
             p AS (SELECT eid,
                          regexp_extract_all(replace(replace(raw1, '.', ''), ',', '.'),
                              '(\\d+(?:\\.\\d+)?)', 1) AS nums,
-                         uni_raw, num_raw
+                         uni_raw, num_raw, rent, src
                   FROM t)
             SELECT eid,
                    try_cast(coalesce(nums[len(nums)], '0') AS DOUBLE) AS last_num,
                    trim(regexp_replace(uni_raw, '[^\\x00-\\x7F]', ' ', 'g'))
                        AS ascii_text,
-                   try_cast(num_raw AS DOUBLE) AS num
+                   try_cast(num_raw AS DOUBLE) AS num,
+                   CASE WHEN contains(rent, '€') THEN 'EUR'
+                        WHEN contains(rent, '£') THEN 'GBP'
+                        WHEN contains(rent, '$') AND contains(src, 'australia') THEN 'AUD'
+                        WHEN contains(rent, '$') THEN 'USD'
+                        WHEN contains(rent, 'TL') OR contains(rent, 'TRY')
+                             OR contains(rent, '₺') THEN 'TRY'
+                        WHEN contains(rent, 'CHF') THEN 'CHF'
+                        WHEN contains(rent, 'QAR') THEN 'QAR'
+                        WHEN contains(rent, 'EUR') THEN 'EUR'
+                        ELSE NULL END AS currency
             FROM p
         """,
         "retry_policy": f"""
@@ -1575,50 +1628,25 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged WHERE rn = 1
         """,
         "extract_number": """
-            SELECT DISTINCT l_orderkey AS okey, l_linenumber AS lnum,
-                   try_cast((l_orderkey % 90 + 1) || lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0')
-                            || '.5' AS DOUBLE) AS num
-            FROM lineitem
-        """,
-        "get_price": """
             WITH t AS (
                 SELECT l_orderkey AS okey, l_linenumber AS lnum,
                        (l_orderkey % 9) || '.' ||
-                       lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') AS s
+                       lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0') AS s,
+                       try_cast((l_orderkey % 90 + 1)
+                            || lpad(CAST(l_partkey % 1000 AS VARCHAR), 3, '0')
+                            || '.5' AS DOUBLE) AS num
                 FROM lineitem),
             p AS (
-                SELECT okey, lnum,
+                SELECT okey, lnum, num,
                        CAST(floor(try_cast(regexp_extract(replace(s, ',', '.'),
                             '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)) AS BIGINT) AS a,
                        CAST(floor(try_cast(regexp_extract(replace(s, '.', ''),
                             '(\\d+(?:\\.\\d+)?)', 1) AS DOUBLE)) AS BIGINT) AS b
                 FROM t)
-            SELECT DISTINCT okey, lnum,
+            SELECT DISTINCT okey, lnum, num,
                    CASE WHEN least(a, b) < 10 THEN greatest(a, b)
                         ELSE least(a, b) END AS price
             FROM p
-        """,
-        "currency_parser": """
-            WITH t AS (
-                SELECT event_id AS eid,
-                       CASE event_id % 7 WHEN 0 THEN '€120' WHEN 1 THEN '£45'
-                            WHEN 2 THEN '$30' WHEN 3 THEN 'TL99' WHEN 4 THEN 'CHF 5'
-                            WHEN 5 THEN 'QAR 7' ELSE 'idk' END AS rent,
-                       CASE WHEN user_id % 2 = 0 THEN 'rent_australia_com'
-                            ELSE 'rent_us_com' END AS src
-                FROM events)
-            SELECT eid,
-                   CASE WHEN contains(rent, '€') THEN 'EUR'
-                        WHEN contains(rent, '£') THEN 'GBP'
-                        WHEN contains(rent, '$') AND contains(src, 'australia') THEN 'AUD'
-                        WHEN contains(rent, '$') THEN 'USD'
-                        WHEN contains(rent, 'TL') OR contains(rent, 'TRY')
-                             OR contains(rent, '₺') THEN 'TRY'
-                        WHEN contains(rent, 'CHF') THEN 'CHF'
-                        WHEN contains(rent, 'QAR') THEN 'QAR'
-                        WHEN contains(rent, 'EUR') THEN 'EUR'
-                        ELSE NULL END AS currency
-            FROM t
         """,
         "energy_label": """
             SELECT DISTINCT l_orderkey AS okey, l_linenumber AS lnum,
@@ -1781,44 +1809,32 @@ def oracle_sql() -> dict[str, str]:
                         i -> 'img/' || (i % 4)))) AS INT) AS external_images_count
             FROM documents
         """,
-        "token_stats": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
-                   CAST(len(regexp_extract_all(lower(text),
-                        '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS INT) AS n_bpe,
-                   CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS INT)
-                       AS n_punct
-            FROM documents
-        """,
-        "lang_id": f"""
+        "text_metrics": f"""
             WITH h AS (
-                SELECT doc_id, {_hits('en')} AS en, {_hits('de')} AS de,
+                SELECT doc_id, text, {_hits('en')} AS en, {_hits('de')} AS de,
                        {_hits('fr')} AS fr, {_hits('it')} AS it, {_hits('nl')} AS nl
-                FROM documents)
-            SELECT doc_id,
+                FROM documents),
+            s AS (
+                SELECT doc_id, en, de, fr, it, nl,
+                       CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+                       CAST(len(regexp_extract_all(lower(text),
+                            '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS INT) AS n_bpe,
+                       CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS INT)
+                           AS n_punct,
+                       CAST(length(text) AS DOUBLE) AS n_char
+                FROM h)
+            SELECT doc_id, n_tokens, n_bpe, n_punct,
                    CASE WHEN greatest(en,de,fr,it,nl) <= 0 THEN 'und'
                         WHEN en = greatest(en,de,fr,it,nl) THEN 'en'
                         WHEN de = greatest(en,de,fr,it,nl) THEN 'de'
                         WHEN fr = greatest(en,de,fr,it,nl) THEN 'fr'
                         WHEN it = greatest(en,de,fr,it,nl) THEN 'it'
-                        ELSE 'nl' END AS lang_pred
-            FROM h
-        """,
-        "quality_score": f"""
-            WITH s AS (
-                SELECT doc_id,
-                       CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
-                       CAST(length(text) AS DOUBLE) AS n_char,
-                       CAST({_hits('en')} AS DOUBLE) AS sw,
-                       CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS DOUBLE)
-                           AS p
-                FROM documents)
-            SELECT doc_id,
-                   round(0.4 * least(1.0, n_tok / 100.0)
-                       + 0.4 * least(1.0, 8.0 * (CASE WHEN n_tok > 0
-                             THEN sw / n_tok ELSE 0.0 END))
+                        ELSE 'nl' END AS lang_pred,
+                   round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                       + 0.4 * least(1.0, 8.0 * (CASE WHEN n_tokens > 0
+                             THEN CAST(en AS DOUBLE) / n_tokens ELSE 0.0 END))
                        + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_char > 0
-                             THEN p / n_char ELSE 0.0 END))), 4) AS quality
+                             THEN n_punct / n_char ELSE 0.0 END))), 4) AS quality
             FROM s
         """,
         "exact_dedup": """
@@ -2176,6 +2192,20 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS "desc"
             FROM documents
         """,
+        "xpath_select": """
+            SELECT doc_id,
+                   CAST(doc_id % 5 + 1 AS VARCHAR) AS rooms,
+                   (doc_id % 2500 + 250) || ' €' AS rent_str,
+                   CAST(doc_id % 120 + 18 AS VARCHAR) AS surface,
+                   'Balcon : ' || (CASE WHEN doc_id % 2 = 0 THEN 'oui'
+                                        ELSE 'non' END) AS balcon,
+                   CAST(doc_id % 6 AS VARCHAR) AS floor_last,
+                   '48.' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                       AS lat,
+                   '/i/' || doc_id || '_2.jpg' AS img2,
+                   'EG' AS floor_first
+            FROM documents
+        """,
         "fetch_rates": """
             SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
                    'h' || (user_id % 40) || '.example' AS host,
@@ -2185,7 +2215,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS errors
             FROM events GROUP BY 1, 2
         """,
-        "geocode": """
+        "enrich": """
             WITH geo AS (
                 SELECT CAST(k AS INT) AS address_key,
                        '45.' || lpad(CAST((k * 37) % 10000 AS VARCHAR), 4, '0')
@@ -2194,13 +2224,10 @@ def oracle_sql() -> dict[str, str]:
                            AS longitude,
                        CAST(10000 + (k * 7) % 89999 AS VARCHAR) AS zipcode,
                        'city' || (k % 40) AS city
-                FROM (SELECT unnest(range(0, 200)) AS k))
-            SELECT event_id AS eid, latitude, longitude, zipcode, city
-            FROM events JOIN geo ON geo.address_key = CAST(event_id % 200 AS INT)
-        """,
-        "fx_convert": """
-            WITH rows AS (
+                FROM (SELECT unnest(range(0, 200)) AS k)),
+            rows AS (
                 SELECT event_id AS eid,
+                       CAST(event_id % 200 AS INT) AS address_key,
                        (['EUR','GBP','USD','AUD','TRY','CHF','QAR','XXX'])
                            [CAST(event_id % 8 AS INT) + 1] AS currency,
                        CAST((event_id % 4000) + 100 AS DOUBLE) AS rent
@@ -2208,9 +2235,12 @@ def oracle_sql() -> dict[str, str]:
             rates AS (
                 SELECT unnest(['EUR','GBP','USD','AUD','TRY','CHF','QAR']) AS currency,
                        unnest([1.0, 1.17, 0.92, 0.61, 0.028, 1.05, 0.25]) AS rate_eur)
-            SELECT eid, rows.currency, rent,
+            SELECT eid, latitude, longitude, zipcode, city,
+                   rows.currency, rent,
                    round(rent * CAST(rate_eur AS DOUBLE), 2) AS rent_eur
-            FROM rows LEFT JOIN rates ON rows.currency = rates.currency
+            FROM rows
+            LEFT JOIN geo ON geo.address_key = rows.address_key
+            LEFT JOIN rates ON rows.currency = rates.currency
         """,
         # golden-file oracle: the expected span rows are generated by the
         # PURE-PYTHON golden model (tests/golden_model.py) via

@@ -49,6 +49,7 @@ class FieldSpec:
     css: str | None = None  # selector over the html column instead
     xpath: str | None = None
     html_source: str = "html"
+    regex: str | None = None  # .re()/.re_first() over the extraction (parsel)
     multi: bool = False
     replaces: list[tuple[str, str]] = field(default_factory=list)  # replace_list
     split: tuple[str, int] | None = None  # split_list: (separator, index, 1-based; negative from end)
@@ -66,19 +67,29 @@ class FieldSpec:
 
 def compile_field(spec: FieldSpec) -> Column:
     """Compile one FieldSpec to a single column expression."""
+    if not spec.source and not spec.css and not spec.xpath:
+        raise ValueError(
+            f"FieldSpec {spec.name!r} requires source, css, or xpath"
+        )
     if spec.css or spec.xpath:
-        from ..operators.selectors import css_extract, xpath_extract
+        from ..operators.selectors import css_extract, re_over, xpath_extract
 
         arr = (
             css_extract(F.col(spec.html_source), spec.css)
             if spec.css
             else xpath_extract(F.col(spec.html_source), spec.xpath)
         )
+        if spec.regex:  # `.css(sel).re(pattern)` composition (116 spiders)
+            arr = re_over(arr, spec.regex)
         if spec.multi:
             return arr.alias(spec.name)
         col = F.try_element_at(arr, F.lit(1))
     else:
         col = F.col(spec.source)
+        if spec.regex:
+            from ..operators.selectors import re_over
+
+            col = F.try_element_at(re_over(F.array(col), spec.regex), F.lit(1))
     if spec.strip_html:
         col = N.strip_tags(col)
     for a, b in spec.replaces:

@@ -187,6 +187,15 @@ def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     base = base.fillna("").astype(str)
     href = href.fillna("").astype(str)
 
+    # urljoin (WHATWG behavior since bpo-43882) strips leading/trailing
+    # whitespace and removes tab/newline ANYWHERE in either argument —
+    # the vectorized paths below don't, so any row carrying a control
+    # char or space takes the fallback (multi-line href attributes are
+    # common in real HTML; resolution must stay byte-identical)
+    clean = ~href.str.contains(r"[\x00-\x20]", regex=True) & ~base.str.contains(
+        r"[\x00-\x20]", regex=True
+    )
+
     # base must be absolute with a netloc, and its PATH free of dot
     # segments (urljoin normalizes those during a relative join)
     origin = base.str.extract(r"^([a-z][a-z0-9+.-]*://[^/?#]*)", expand=False)
@@ -208,8 +217,8 @@ def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     base_dir_ok = base_ok & ~base_tail.str.contains("//", regex=False)
 
     href_dotty = href.str.contains(_DOTSEG_RE, regex=True)
-    is_abs = href.str.match(_ABS_RE) & ~href_dotty
-    is_root = href.str.match(r"^/(?!/)") & base_ok & ~href_dotty
+    is_abs = href.str.match(_ABS_RE) & ~href_dotty & clean
+    is_root = href.str.match(r"^/(?!/)") & base_ok & ~href_dotty & clean
     # urljoin also collapses '//' inside a PLAIN-relative href during
     # the segment merge (root-relative hrefs keep theirs) — fallback
     is_plain = (
@@ -218,6 +227,7 @@ def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
         & ~href.str.contains("//", regex=False)
         & base_dir_ok
         & ~href_dotty
+        & clean
     )
 
     # base directory: path cut after its last '/', or origin + '/' when

@@ -687,8 +687,93 @@ def test_selector_engine_unit():
     ) == ["/d/1"]
     assert select_html(html, "//span/text()", lang="xpath") == ["€ 1.200", "€ 900"]
     assert select_html(html, "//p//b/text()", lang="xpath") == ["flat"]
-    # misnested / void tags tolerated
-    assert select_html("<p>a<br>b</p>", "p::text") == ["a b"]
+    # misnested / void tags tolerated; ::text yields one result per
+    # TEXT NODE (parsel semantics — <br> splits them)
+    assert select_html("<p>a<br>b</p>", "p::text") == ["a", "b"]
+
+
+def test_selector_predicates_and_axes():
+    """Round-3 parity forms, each mirroring a real reference idiom:
+    contains(@class,...) (1,787 spiders, e.g. the
+    //div[contains(@class,'resultat-item')]/a/@href pattern),
+    contains(text(),...) (454), contains(.,...) (the
+    //script[contains(.,'LatLng')] coordinate idiom),
+    following-sibling:: (1,531: //td[...]/following-sibling::td/text(),
+    following-sibling::text()), preceding-sibling:: (61), positional
+    [1]/[last()], CSS :nth-child(n) (259) and :contains()."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        "<html><body>"
+        '<div class="resultat-item extra"><a href="/d/1">one</a></div>'
+        '<div class="resultat-item"><a href="/d/2">two</a></div>'
+        "<script>var map = L.LatLng(48.85, 2.35);</script>"
+        "<ul><li>Surface habitable <b>72</b> m2</li><li>Balcon : oui</li></ul>"
+        "<table><tr><td>Zimmer</td><td>3</td></tr>"
+        '<tr><td class="k">Miete</td> 450 <td>EUR</td></tr></table>'
+        "<dl><dt>Floor</dt><dd>2nd</dd><dd>extra</dd></dl>"
+        '<div class="row"><span>a</span><span>b</span><span>c</span></div>'
+        '<a class="page-next btn">next1</a>'
+        "</body></html>"
+    )
+    x = lambda sel: select_html(html, sel, lang="xpath")
+    assert x("//div[contains(@class,'resultat-item')]/a/@href") == ["/d/1", "/d/2"]
+    assert x("//script[contains(.,'LatLng')]/text()") == [
+        "var map = L.LatLng(48.85, 2.35);"
+    ]
+    assert x("//li[contains(.,'Surface habitable')]/text()") == [
+        "Surface habitable", "m2",
+    ]
+    assert x("//td[contains(text(),'Zimmer')]/following-sibling::td/text()") == ["3"]
+    assert x("//td[contains(text(),'Miete')]/following-sibling::text()") == ["450"]
+    assert x("//td[contains(text(),'Miete')]/following-sibling::text()[1]") == ["450"]
+    assert x("//dt/following-sibling::dd[1]/text()") == ["2nd"]
+    assert x("//dt/following-sibling::dd[last()]/text()") == ["extra"]
+    assert x("//dd[1]/preceding-sibling::dt/text()") == ["Floor"]
+    assert x("//div[@class='row']/span[2]/text()") == ["b"]
+    # per-parent positional semantics: //span[last()] = last span of EACH parent
+    assert x("//span[last()]/text()") == ["c"]
+    assert x("//ul//text()") == ["Surface habitable", "72", "m2", "Balcon : oui"]
+    c = lambda sel: select_html(html, sel, lang="css")
+    assert c("div.row span:nth-child(2)::text") == ["b"]
+    assert c("li:contains('Balcon')::text") == ["Balcon : oui"]
+    assert c("a.page-next::text") == ["next1"]
+    assert c("*.btn::text") == ["next1"]
+
+
+def test_selector_deep_nesting_no_recursion():
+    """Adversarially deep HTML (>sys.getrecursionlimit() nested tags)
+    must degrade gracefully — the DOM walk is iterative (ADVICE r2)."""
+    import sys
+
+    from spider_spark.operators.selectors import select_html
+
+    depth = sys.getrecursionlimit() + 500
+    html = "<div>" * depth + "<span>deep</span>" + "</div>" * depth
+    assert select_html(html, "//span/text()", lang="xpath") == ["deep"]
+    assert select_html(html, "div span") == ["deep"]
+
+
+def test_selector_re_composition(spark):
+    """.re() / .re_first() (116 spiders, e.g. `.re_first(r"\\d+")`):
+    regexp findall over extracted strings, flattened — JVM-side."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.selectors import css_re, re_first, xpath_re
+
+    df = spark.createDataFrame(
+        [(1, '<div><span class="rent">1.200,50 € warm</span>'
+             "<p>Zimmer: 3, Bad: 1</p></div>")],
+        "id long, html string",
+    )
+    row = df.select(
+        css_re(F.col("html"), "span.rent::text", r"[0-9]+\.*[0-9]*").alias("nums"),
+        re_first(F.col("html"), "p::text", r"Zimmer: (\d+)", "css").alias("rooms"),
+        xpath_re(F.col("html"), "//p/text()", r"\d+").alias("all_nums"),
+    ).collect()[0]
+    assert row["nums"] == ["1.200", "50"]
+    assert row["rooms"] == "3"  # capture group -> group value (parsel)
+    assert row["all_nums"] == ["3", "1"]
 
 
 def test_itemclear_with_selectors(spark):

@@ -91,7 +91,15 @@ href_weird = st.sampled_from(
     ["", "../up", "./here", "a/../b", "//proto.rel/x", "?q=1", "#frag",
      "mailto:x@y.z", "..", ".", "a/./b", "/a/../b", "g:h", "x?y=../z"]
 )
-hrefs = st.one_of(href_abs, href_root, href_plain, href_weird)
+#: whitespace/control chars — urljoin strips leading/trailing spaces and
+#: removes tab/newline anywhere (WHATWG, bpo-43882); these rows must
+#: route to the fallback (ADVICE r2: the fast paths kept them verbatim)
+href_whitespace = st.sampled_from(
+    [" page.html", "page.html ", "pa\tge.html", "/x\ty", "a\nb.html",
+     " /rooted", "\thttp://h.example/x", "http://h.example/a b",
+     "page\r.html", "  "]
+)
+hrefs = st.one_of(href_abs, href_root, href_plain, href_weird, href_whitespace)
 
 
 @given(st.lists(st.tuples(urls(), hrefs), min_size=1, max_size=30))
