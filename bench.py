@@ -100,37 +100,56 @@ def bench_seen_set(spark, n_urls: int = 1_000_000):
     }
 
 
-def bench_crawl_loop(spark):
+def bench_crawl_loop(spark, reps: int | None = None):
     """Full engine loop (admit -> schedule -> fetch -> parse -> commit)
     on a ~26k-page synthetic web, shallow pagination so BSP fixed costs
-    amortize into real per-wave work. Reports docs/sec."""
+    amortize into real per-wave work. Reports docs/sec.
+
+    Runs ``reps`` times (default 3, env SPARK_GRAFT_CRAWL_REPS) and
+    reports the MEDIAN with the min/max spread — crawl_loop was the one
+    n=1 stage in r1/r2, which made its numbers indistinguishable from
+    box noise (VERDICT r2 item 2)."""
+    import shutil
     import tempfile
 
     from spider_spark.plans.engine import CrawlConfig, CrawlEngine
     from spider_spark.storage.catalog import SnapshotStore
     from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
 
+    reps = reps or int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", 3))
     # breadth-shaped fleet crawl (many hosts, shallow pagination): the
     # politeness budget (16/host/wave) then bounds the wave count, not
     # the host count — the axis that actually grows at fleet scale
     spec = WebSpec(
         seed=42, n_hosts=500, pages_per_host=1, details_per_page=50, hot_host_factor=4
     )
-    root = tempfile.mkdtemp(prefix="bench_crawl_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-    eng = CrawlEngine(
-        spark,
-        web_df(spark, spec),
-        host_policy_df(spark, spec),
-        SnapshotStore(spark, root),
-        CrawlConfig(crawl_id="bench", n_buckets=64, wave_seconds=8.0, max_waves=12),
-    )
-    t0 = time.monotonic()
-    totals = eng.run(seeds_df(spark, spec))
-    dt = time.monotonic() - t0
-    return dt, {
+    web = web_df(spark, spec).persist()
+    policy = host_policy_df(spark, spec)
+    times, totals = [], {}
+    for _ in range(reps):
+        root = tempfile.mkdtemp(
+            prefix="bench_crawl_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        eng = CrawlEngine(
+            spark,
+            web,
+            policy,
+            SnapshotStore(spark, root),
+            CrawlConfig(crawl_id="bench", n_buckets=64, wave_seconds=8.0, max_waves=12),
+        )
+        t0 = time.monotonic()
+        totals = eng.run(seeds_df(spark, spec))
+        times.append(time.monotonic() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+    times.sort()
+    med = times[len(times) // 2]
+    return med, {
         "docs": totals["docs"],
         "waves": totals["waves"],
-        "docs_per_sec": round(totals["docs"] / dt),
+        "docs_per_sec": round(totals["docs"] / med),
+        "per_wave_s": round(med / max(totals["waves"], 1), 2),
+        "runs_s": [round(t, 2) for t in times],
     }
 
 

@@ -171,8 +171,9 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    train_fraction: float = 1.0,
+    train_fraction: float | None = None,
     max_iter: int = 5,
+    min_train_rows: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path
     beside SRP-LSH: a coarse quantizer (Spark ML KMeans, JVM-side,
@@ -181,11 +182,17 @@ def ivf_topk(
     only inside them. Candidate volume ~ n_probe/n_centroids of the
     corpus per query instead of all of it.
 
-    At 100 TB: fit the quantizer on a sample (``train_fraction``), keep
-    ``n_centroids ~ sqrt(corpus)``; the assignment pass is one KMeans
-    transform (whole-stage JVM), and the probe join shuffles only the
-    candidate cells. Recall vs brute force is pytest-verified (exact
-    values depend on the trained centroids, so there is no SQL oracle).
+    At 100 TB the quantizer must NOT fit on the full corpus: by default
+    (``train_fraction=None``) it trains on a sample sized
+    ``max(min_train_rows, 100 * n_centroids)`` rows — KMeans centroid
+    quality needs only O(centroids) examples (sqrt-n centroid guidance:
+    keep ``n_centroids ~ sqrt(corpus)`` and the sample stays ~100x
+    centroids regardless of corpus size). Pass ``train_fraction=1.0``
+    explicitly to force a full fit on small corpora. The assignment
+    pass is one KMeans transform (whole-stage JVM), and the probe join
+    shuffles only the candidate cells. Recall vs brute force is
+    pytest-verified (exact values depend on the trained centroids, so
+    there is no SQL oracle).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -195,6 +202,11 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
         feats.alias("feat"),
     )
+    if train_fraction is None:
+        # sampled fit by default — full-corpus KMeans is a scale-killer
+        target = max(min_train_rows, 100 * n_centroids)
+        n_corpus = corpus.count()
+        train_fraction = 1.0 if n_corpus <= target else target / n_corpus
     train = ml if train_fraction >= 1.0 else ml.sample(train_fraction, seed=seed)
     model = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter,

@@ -41,34 +41,128 @@ def dedup_media_spans(spans_col: F.Column) -> F.Column:
     )
 
 
+def _doc_key() -> F.Column:
+    """Effective document id: a meta-carried ``doc_id`` (fragment of a
+    multi-page item — the parent threaded it, ``15walmer.py:112``) wins
+    over the page's own canonical-url-derived id."""
+    return F.coalesce(
+        F.element_at(F.coalesce(F.col("meta"), F.create_map()), "doc_id"),
+        F.regexp_replace(F.col("canonical_url"), r"^[a-z0-9+.-]+://", ""),
+    )
+
+
 def extract_documents(fetched_ok: DataFrame) -> DataFrame:
-    """Detail pages -> documents rows (doc_id, spans, lineage cols)."""
+    """Detail pages -> documents rows (doc_id, spans, lineage cols).
+
+    Emits one row per FETCHED PAGE; a multi-page item contributes one
+    fragment row per page (same effective doc_id), merged downstream by
+    :func:`merge_document_fragments`. ``has_continuation`` marks pages
+    that emitted follow-up links, so the merge can cheaply isolate the
+    fragment subset.
+    """
     details = fetched_ok.filter(
         (~F.col("is_listing_page")) & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
     )
     return details.select(
-        F.regexp_replace(F.col("canonical_url"), r"^[a-z0-9+.-]+://", "").alias("doc_id"),
+        _doc_key().alias("doc_id"),
         dedup_media_spans(F.col("spans")).alias("spans"),
         F.col("source"),
         F.col("host"),
         F.col("wave"),
         F.col("discovered_seq").alias("position"),
         F.col("meta").alias("attrs"),
+        (F.size(F.coalesce(F.col("out_links"), F.array())) > 0).alias(
+            "has_continuation"
+        ),
     )
 
 
+def renumber_spans(spans_col: F.Column) -> F.Column:
+    """Re-assign offsets 0..n-1 in array order (after media dedup /
+    fragment merge the original page offsets have gaps)."""
+    return F.transform(
+        spans_col,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def merge_document_fragments(raw: DataFrame) -> DataFrame:
+    """Assemble multi-page items: fragments sharing a doc_id collapse
+    into ONE document (the reference threads a partially built item
+    across requests via meta — ``15walmer.py:112``; SURVEY.md §2.2).
+
+    Scale shape: only rows flagged as fragments (meta-carried doc_id or
+    ``has_continuation``) enter the groupBy — the overwhelming
+    single-page majority takes a shuffle-free per-row projection.
+    Fragments order by fetch ``position`` (the request's
+    discovered_seq), media dedup re-runs ACROSS fragments keeping first
+    occurrence, and offsets renumber 0..n-1.
+    """
+    is_frag = F.col("has_continuation") | F.element_at(
+        F.coalesce(F.col("attrs"), F.create_map()), "doc_id"
+    ).isNotNull()
+    out_cols = ["doc_id", "spans", "source", "host", "wave", "position", "attrs"]
+
+    plain = raw.filter(~F.coalesce(is_frag, F.lit(False))).select(
+        "doc_id",
+        renumber_spans(F.col("spans")).alias("spans"),
+        "source", "host", "wave", "position", "attrs",
+    )
+    frags = raw.filter(F.coalesce(is_frag, F.lit(False)))
+    merged = frags.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("position").alias("p"), F.col("spans").alias("s"))
+                    )
+                ),
+                lambda fr: fr["s"],
+            )
+        ).alias("spans_raw"),
+        F.min("position").alias("position"),
+        F.min("wave").alias("wave"),
+        F.min_by("source", "position").alias("source"),
+        F.min_by("host", "position").alias("host"),
+        F.min_by("attrs", "position").alias("attrs"),
+    )
+    merged = merged.select(
+        "doc_id",
+        renumber_spans(dedup_media_spans(F.col("spans_raw"))).alias("spans"),
+        "source", "host", "wave", "position", "attrs",
+    )
+    return plain.select(out_cols).unionByName(merged.select(out_cols))
+
+
 def extract_links(fetched_ok: DataFrame) -> DataFrame:
-    """Listing pages -> raw child request rows (pre-identity).
+    """Pages with out_links -> raw child request rows (pre-identity).
 
     Children inherit source/meta/priority from the parent (the
     reference threads these via ``meta=`` — ``aands_org_uk.py:30-49``).
+    Children of a DETAIL page additionally carry the parent's effective
+    doc_id in meta, so their spans merge back into the parent's
+    document (multi-page item assembly, ``15walmer.py:112``).
     """
     listings = fetched_ok.filter(F.size(F.coalesce(F.col("out_links"), F.array())) > 0)
+    base_meta = F.coalesce(F.col("meta"), F.create_map())
+    child_meta = F.when(
+        F.col("is_listing_page"), F.col("meta")
+    ).otherwise(
+        F.map_concat(
+            F.map_filter(base_meta, lambda k, v: k != F.lit("doc_id")),
+            F.create_map(F.lit("doc_id"), _doc_key()),
+        )
+    )
     exploded = listings.select(
         F.col("crawl_id"),
         F.col("url").alias("base_url"),
         F.col("source"),
-        F.col("meta"),
+        child_meta.alias("meta"),
         F.col("priority"),
         F.col("discovered_seq").alias("parent_seq"),
         F.posexplode(F.col("out_links")).alias("link_pos", "href"),
@@ -86,6 +180,29 @@ def extract_links(fetched_ok: DataFrame) -> DataFrame:
         "parent_seq",
         "link_pos",
     )
+
+
+def apply_link_rules(links: DataFrame, rules: DataFrame | None) -> DataFrame:
+    """LinkExtractor ``allow``/``deny`` filter (``a_venue_be.py:7``;
+    59 CrawlSpider spiders): per-source regexes applied to the ABSOLUTE
+    resolved URL — NULL allow passes everything, a deny match drops.
+
+    The rules dim is tiny (one row per site) and broadcast; the regex
+    runs JVM-side (``regexp_like`` with a column pattern — patterns
+    repeat per source, so at 10^10 links the cost is one compiled-regex
+    match per row, no Python).
+    """
+    if rules is None:
+        return links
+    joined = links.join(F.broadcast(rules), "source", "left")
+    keep = (
+        F.col("link_allow").isNull()
+        | F.regexp_like(F.col("url"), F.col("link_allow"))
+    ) & (
+        F.col("link_deny").isNull()
+        | ~F.regexp_like(F.col("url"), F.col("link_deny"))
+    )
+    return joined.filter(keep).drop("link_allow", "link_deny")
 
 
 def assign_seq(df: DataFrame, order_cols: list, base: int) -> DataFrame:

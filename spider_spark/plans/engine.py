@@ -66,6 +66,7 @@ class CrawlEngine:
         store: SnapshotStore,
         config: CrawlConfig | None = None,
         sitemaps: DataFrame | None = None,
+        link_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -73,11 +74,19 @@ class CrawlEngine:
         self.policy = host_policy
         self.store = store
         self.sitemaps = sitemaps  # optional sitemaps(url, xml) table
+        #: optional LinkExtractor allow/deny dim (source, link_allow,
+        #: link_deny) — sources/registry.link_rules_df
+        self.link_rules = link_rules
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
     # -- admission ----------------------------------------------------------
-    def _admit(self, candidates: DataFrame, wave: int) -> DataFrame:
-        """identity -> intra-batch dedup -> seen-set dedup -> record."""
+    def _admit(self, candidates: DataFrame, wave: int) -> tuple[DataFrame, DataFrame]:
+        """identity -> intra-batch dedup -> seen-set dedup.
+
+        Returns ``(admitted, recorded)`` — the caller writes
+        ``recorded`` to the ``url_seen`` table (run() overlaps that
+        write with the wave's other independent jobs).
+        """
         cand = with_url_identity(candidates, self.cfg.n_buckets)
         cand = D.dedup_intra_batch(cand)
         backend = self.cfg.backend()
@@ -104,8 +113,7 @@ class CrawlEngine:
             "host_bucket",
             F.lit(wave).alias("wave"),
         )
-        self.store.write_wave("url_seen", wave, recorded)
-        return admitted
+        return admitted, recorded
 
     # -- one wave -------------------------------------------------------------
     def run(self, seeds: DataFrame, resume: bool = False) -> dict:
@@ -145,7 +153,8 @@ class CrawlEngine:
             )
             cand = S.assign_seq(cand, [F.asc("source"), F.asc("url")], 0).drop("link_pos")
             cand = cand.withColumn("wave", F.lit(0))
-            pending = self._admit(cand, 0)
+            pending, recorded0 = self._admit(cand, 0)
+            self.store.write_wave("url_seen", 0, recorded0)
             next_base = _max_seq(pending)
             self.store.write_wave("frontier", 0, pending.drop("crawl_delay_s"))
             self.store.commit_wave(0, {"next_seq_base": next_base})
@@ -180,22 +189,27 @@ class CrawlEngine:
             )
 
             docs = S.extract_documents(ok)
-            new_links = S.extract_links(ok)
+            new_links = S.apply_link_rules(S.extract_links(ok), self.link_rules)
             new_links = S.assign_seq(
                 new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
             ).drop("link_pos")
             new_links = new_links.withColumn("wave", F.lit(wave))
-            admitted = self._admit(new_links, wave)
+            admitted, recorded = self._admit(new_links, wave)
 
-            next_pending = deferred.unionByName(
-                admitted.select(*deferred.columns)
-            ).unionByName(retry.select(*deferred.columns))
+            # persisted: the frontier write AND the pending-count stat
+            # share one materialization (deferred re-derives the
+            # politeness window otherwise)
+            next_pending = (
+                deferred.unionByName(admitted.select(*deferred.columns))
+                .unionByName(retry.select(*deferred.columns))
+                .persist()
+            )
 
-            # ONE stat action per wave: both sides are tiny aggregates
-            # over persisted DataFrames — unioning them folds what was
-            # two driver round-trips (2 jobs) into one, which matters
-            # because fixed per-job overhead dominates small waves
-            # (BENCH_r01 crawl_loop: ~4.3 s/wave floor)
+            # ONE stat action per wave: three tiny aggregates over
+            # persisted DataFrames union into a single job — admitted
+            # count/max-seq, fetched count/doc count, and NEXT wave's
+            # pending count (which used to be its own per-wave job over
+            # the re-read frontier parquet)
             astats = admitted.agg(
                 F.count("*").alias("n"), F.max("discovered_seq").alias("x")
             ).select(F.lit("admitted").alias("side"), "n", "x")
@@ -209,45 +223,61 @@ class CrawlEngine:
                     ).cast("long")
                 ).alias("x"),
             ).select(F.lit("fetched").alias("side"), "n", "x")
-            # the docs write, frontier write and stat collect are
-            # independent jobs over persisted inputs — submit them
+            pstats = next_pending.agg(F.count("*").alias("n")).select(
+                F.lit("pending").alias("side"), "n", F.lit(0).cast("long").alias("x")
+            )
+            # the docs / frontier / url_seen writes and the stat collect
+            # are independent jobs over persisted inputs — submit them
             # concurrently from driver threads (Spark schedules them in
             # one pool) so their fixed per-job latencies overlap instead
-            # of summing; the manifest commit stays strictly after both
-            # writes, so crash atomicity is unchanged
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            # of summing; the metrics write needs the stat literals, so
+            # it launches as soon as stats resolve while the big writes
+            # may still be in flight. The manifest commit stays strictly
+            # after ALL writes, so crash atomicity is unchanged.
+            with ThreadPoolExecutor(max_workers=5) as pool:
                 docs_fut = pool.submit(self.store.write_wave, "documents", wave, docs)
                 frontier_fut = pool.submit(
                     self.store.write_wave, "frontier", wave, next_pending
                 )
+                seen_fut = pool.submit(
+                    self.store.write_wave, "url_seen", wave, recorded
+                )
                 stats_fut = pool.submit(
-                    lambda: {r["side"]: r for r in astats.unionByName(fstats).collect()}
+                    lambda: {
+                        r["side"]: r
+                        for r in astats.unionByName(fstats).unionByName(pstats).collect()
+                    }
+                )
+                stats = stats_fut.result()
+                n_admitted = stats["admitted"]["n"]
+                n_docs = int(stats["fetched"]["x"] or 0)
+                metrics = (
+                    fetched.groupBy("crawl_id", "host_bucket")
+                    .agg(
+                        F.count("*").alias("fetched"),
+                        F.sum((F.col("status") != 200).cast("long")).alias("retried"),
+                    )
+                    .withColumn("wave", F.lit(wave))
+                    .withColumn("candidates", F.lit(n_admitted).cast("long"))
+                    .withColumn("deduped_dropped", F.lit(0).cast("long"))
+                    .withColumn("robots_dropped", F.lit(0).cast("long"))
+                    .withColumn("scheduled", F.col("fetched"))
+                    .withColumn("docs_emitted", F.lit(n_docs).cast("long"))
+                    .withColumn(
+                        "wall_ms",
+                        F.lit(int((time.monotonic() - t0) * 1000)).cast("long"),
+                    )
+                    .select([f.name for f in schemas.METRICS.fields])
+                )
+                metrics_fut = pool.submit(
+                    self.store.write_wave, "metrics", wave, metrics
                 )
                 docs_fut.result()
                 frontier_fut.result()
-                stats = stats_fut.result()
-            n_admitted = stats["admitted"]["n"]
+                seen_fut.result()
+                metrics_fut.result()
             next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
             n_fetched = stats["fetched"]["n"]
-            n_docs = int(stats["fetched"]["x"] or 0)
-            metrics = (
-                fetched.groupBy("crawl_id", "host_bucket")
-                .agg(
-                    F.count("*").alias("fetched"),
-                    F.sum((F.col("status") != 200).cast("long")).alias("retried"),
-                )
-                .withColumn("wave", F.lit(wave))
-                .withColumn("candidates", F.lit(n_admitted).cast("long"))
-                .withColumn("deduped_dropped", F.lit(0).cast("long"))
-                .withColumn("robots_dropped", F.lit(0).cast("long"))
-                .withColumn("scheduled", F.col("fetched"))
-                .withColumn("docs_emitted", F.lit(n_docs).cast("long"))
-                .withColumn(
-                    "wall_ms", F.lit(int((time.monotonic() - t0) * 1000)).cast("long")
-                )
-                .select([f.name for f in schemas.METRICS.fields])
-            )
-            self.store.write_wave("metrics", wave, metrics)
             self.store.commit_wave(wave, {"next_seq_base": next_base})
 
             if cfg.autothrottle:
@@ -258,8 +288,8 @@ class CrawlEngine:
                 # the policy lineage flat across many waves
                 # measured latency passes through; only the synthetic
                 # backend (no latency column) gets the stand-in
-                stats = AT.wave_latency_stats(AT.with_latency(fetched))
-                updated = AT.updated_policy(self.policy, stats)
+                lat_stats = AT.wave_latency_stats(AT.with_latency(fetched))
+                updated = AT.updated_policy(self.policy, lat_stats)
                 self.policy = self.spark.createDataFrame(
                     updated.collect(), schema=schemas.HOST_POLICY
                 )
@@ -269,16 +299,23 @@ class CrawlEngine:
             totals["waves"] += 1
             fetched.unpersist()
             admitted.unpersist()
+            next_pending.unpersist()
             # re-read pending from the committed snapshot: truncates lineage
-            # (the iterative-loop analog of checkpointing)
+            # (the iterative-loop analog of checkpointing); its count came
+            # back with the unioned stats job — no extra per-wave action
             pending = self.store.read_table("frontier", "latest")
-            n_pending = pending.count()
+            n_pending = int(stats["pending"]["n"])
             wave += 1
         return totals
 
     # -- outputs ------------------------------------------------------------
     def documents(self) -> DataFrame:
-        return self.store.read_table("documents", "append", schema=schemas.DOCUMENTS_FULL)
+        """Final documents view: raw per-page rows with multi-page item
+        fragments merged (groupBy touches only the fragment subset)."""
+        raw = self.store.read_table(
+            "documents", "append", schema=schemas.DOCUMENTS_FULL
+        )
+        return S.merge_document_fragments(raw)
 
     def url_seen(self) -> DataFrame:
         return self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)

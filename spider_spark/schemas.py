@@ -42,6 +42,10 @@ DOCUMENTS_FULL = T.StructType(
         T.StructField("wave", T.IntegerType(), True),
         T.StructField("position", T.LongType(), True),
         T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), True),
+        # the page emitted continuation links (multi-page item, the
+        # 15walmer.py:112 meta-carried-item shape) — marks this row as a
+        # FRAGMENT head so the documents() merge only shuffles fragments
+        T.StructField("has_continuation", T.BooleanType(), True),
     ]
 )
 

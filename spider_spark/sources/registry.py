@@ -37,6 +37,11 @@ SPIDERS_DIM = T.StructType(
         T.StructField("scale_separator", T.StringType(), False),
         T.StructField("download_delay_s", T.DoubleType(), True),  # custom_settings override
         T.StructField("proxy_country", T.StringType(), True),  # PROXY_ON analog; no-op here
+        # LinkExtractor(allow=..., deny=...) analog (CrawlSpider rules,
+        # a_venue_be.py:7; 59 spiders): regexes applied to the ABSOLUTE
+        # resolved child URL; NULL allow = allow everything
+        T.StructField("link_allow", T.StringType(), True),
+        T.StructField("link_deny", T.StringType(), True),
         T.StructField("seeds", T.ArrayType(T.StringType()), False),
     ]
 )
@@ -52,6 +57,9 @@ class SiteSpec:
     scale_separator: str = ","
     download_delay_s: float | None = None
     proxy_country: str | None = None
+    #: LinkExtractor allow/deny regex (None = no constraint)
+    link_allow: str | None = None
+    link_deny: str | None = None
     #: SitemapSpider analog (athimmo_be.py:18-26): sitemap URLs become
     #: seed rows and are expanded pre-wave-0 by
     #: sources.sitemap.expand_sitemap_seeds (they match *.xml)
@@ -130,11 +138,21 @@ def spiders_dim_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = N
     rows = [
         (
             s.source, s.country, s.locale, s.thousand_separator, s.scale_separator,
-            s.download_delay_s, s.proxy_country, s.seeds,
+            s.download_delay_s, s.proxy_country, s.link_allow, s.link_deny, s.seeds,
         )
         for s in reg.values()
     ]
     return spark.createDataFrame(rows, SPIDERS_DIM)
+
+
+def link_rules_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:
+    """Per-source LinkExtractor allow/deny dim for
+    ``operators.spans.apply_link_rules`` (broadcast at the link stage)."""
+    reg = registry if registry is not None else REGISTRY
+    rows = [(s.source, s.link_allow, s.link_deny) for s in reg.values()]
+    return spark.createDataFrame(
+        rows, "source string, link_allow string, link_deny string"
+    )
 
 
 def seeds_from_registry(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:

@@ -20,8 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: a seed URL that names a sitemap document (Scrapy's sitemap_urls shape)
-SITEMAP_URL_RE = r"\.xml(\?.*)?$"
+#: a seed URL that names a sitemap document (Scrapy's sitemap_urls
+#: shape) — also matches gzip-compressed sitemaps (``sitemap.xml.gz``,
+#: which Scrapy inflates; our table stores the decoded XML, and a .gz
+#: URL with no table row is simply an unresolved miss) and URLs
+#: carrying a query string or fragment (``sitemap.xml#frag``)
+SITEMAP_URL_RE = r"\.xml(\.gz)?([?#].*)?$"
 _LOC_RE = r"<loc>\s*([^<]+?)\s*</loc>"
 
 

@@ -52,6 +52,11 @@ class WebSpec:
     dead_link_rate: float = 0.1
     retry_rate: float = 0.08  # listing/detail pages w/ retryable status
     cross_host_rate: float = 0.15
+    #: prob a detail item SPLITS across two requests (the reference's
+    #: partially-built-item-via-meta pattern, ``15walmer.py:112``):
+    #: part 1 carries the leading spans plus a continuation link; the
+    #: engine must merge both fragments into one document
+    split_item_rate: float = 0.25
     hosts: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -160,16 +165,51 @@ def gen_web(spec: WebSpec) -> list[dict]:
             status = 200
             if _frac(_h(spec.seed, host, did, "status")) < spec.retry_rate:
                 status = 500
-            pages.append(
-                {
-                    "url": f"http://{host}/detail/{did}",
-                    "host": host,
-                    "status": status,
-                    "out_links": [],
-                    "spans": make_spans(spec, doc_id, host),
-                    "is_listing_page": False,
-                }
+            spans = make_spans(spec, doc_id, host)
+            split = (
+                len(spans) >= 4
+                and _frac(_h(spec.seed, host, did, "split")) < spec.split_item_rate
             )
+            if split:
+                # multi-page item: part 1 = leading spans + continuation
+                # link; part 2 = its own page with the trailing spans
+                # (offsets re-based — each PAGE starts at 0; the merge
+                # orders fragments by fetch position, then renumbers)
+                cut = len(spans) // 2
+                p2_status = 200
+                if _frac(_h(spec.seed, host, did, "status2")) < spec.retry_rate:
+                    p2_status = 500
+                pages.append(
+                    {
+                        "url": f"http://{host}/detail/{did}",
+                        "host": host,
+                        "status": status,
+                        "out_links": [f"/detail/{did}/p2"],
+                        "spans": spans[:cut],
+                        "is_listing_page": False,
+                    }
+                )
+                pages.append(
+                    {
+                        "url": f"http://{host}/detail/{did}/p2",
+                        "host": host,
+                        "status": p2_status,
+                        "out_links": [],
+                        "spans": [dict(s, offset=j) for j, s in enumerate(spans[cut:])],
+                        "is_listing_page": False,
+                    }
+                )
+            else:
+                pages.append(
+                    {
+                        "url": f"http://{host}/detail/{did}",
+                        "host": host,
+                        "status": status,
+                        "out_links": [],
+                        "spans": spans,
+                        "is_listing_page": False,
+                    }
+                )
     return pages
 
 

@@ -96,6 +96,9 @@ class GoldenCrawl:
 
         self.seen: set[str] = set()
         self.documents: dict[str, list[dict]] = {}
+        #: doc_id -> [(fetch seq, page spans)] — multi-page items
+        #: accumulate one fragment per fetched page (15walmer.py:112)
+        self._fragments: dict[str, list[tuple[int, list[dict]]]] = {}
         #: dispatch log: list of (wave, host, rank, canonical_url)
         self.dispatch_log: list[tuple[int, str, int, str]] = []
 
@@ -177,7 +180,18 @@ class GoldenCrawl:
                         rr["dont_filter"] = True
                         retries.append(rr)
                     continue
+                # effective doc id: a meta-carried doc_id (fragment of a
+                # multi-page item) wins over the url-derived id
+                doc_key = (
+                    r["meta"].get("doc_id")
+                    or r["canonical_url"].split("://", 1)[1]
+                )
                 if page["is_listing_page"] or page["out_links"]:
+                    child_meta = r["meta"]
+                    if not page["is_listing_page"]:
+                        # children of a detail page inherit its doc id —
+                        # their spans merge into the parent's document
+                        child_meta = dict(r["meta"], doc_id=doc_key)
                     for pos, href in enumerate(page["out_links"]):
                         url = urljoin(r["url"], href)
                         new_cands.append(
@@ -185,15 +199,16 @@ class GoldenCrawl:
                                 "parent_seq": r["discovered_seq"],
                                 "link_pos": pos,
                                 "url": url,
-                                "meta": r["meta"],
+                                "meta": child_meta,
                                 "priority": r["priority"],
                                 "attempt": 0,
                                 "dont_filter": False,
                             }
                         )
                 if not page["is_listing_page"] and page["spans"]:
-                    doc_id = r["canonical_url"].split("://", 1)[1]
-                    self.documents[doc_id] = dedup_media(page["spans"])
+                    self._fragments.setdefault(doc_key, []).append(
+                        (r["discovered_seq"], page["spans"])
+                    )
 
             new_cands.sort(key=lambda c: (c["parent_seq"], c["link_pos"]))
             for c in new_cands:
@@ -205,3 +220,13 @@ class GoldenCrawl:
                 c["discovered_seq"] = seq
             admitted = self._admit(new_cands)
             pending = deferred + admitted + retries
+
+        # merge multi-page fragments: order by fetch seq, media dedup
+        # ACROSS fragments keeping first, renumber offsets 0..n-1
+        self.documents = {}
+        for key, frs in self._fragments.items():
+            frs.sort(key=lambda t: t[0])
+            merged = dedup_media([s for _, spans in frs for s in spans])
+            self.documents[key] = [
+                dict(s, offset=i) for i, s in enumerate(merged)
+            ]

@@ -96,6 +96,79 @@ def test_no_document_duplicates(engine_run):
     assert docs.count() == docs.select("doc_id").distinct().count()
 
 
+def test_multipage_items_merged(engine_run):
+    """Split items (detail page + continuation page carrying the
+    parent's doc_id via meta — the 15walmer.py:112 shape) merge into
+    ONE document; span sequence equals the golden model's merged
+    fragments, offsets renumbered 0..n-1."""
+    eng, _totals, _store, _log = engine_run
+    g = golden()
+    multi = {k for k, v in g._fragments.items() if len(v) > 1}
+    assert multi, "SPEC must exercise the split-item path"
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in eng.documents().filter(F.col("doc_id").isin(list(multi))).collect()
+    }
+    assert set(rows) == multi
+    for k in multi:
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in rows[k]]
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g.documents[k]]
+        assert got == want
+        assert [s["offset"] for s in rows[k]] == list(range(len(rows[k])))
+
+
+def test_link_extractor_allow_deny(spark, tmp_path):
+    """LinkExtractor allow/deny (a_venue_be.py:7, 59 spiders): unit
+    filter semantics + engine-level deny pruning the frontier."""
+    from spider_spark.operators.spans import apply_link_rules
+    from spider_spark.sources.registry import link_rules_df
+
+    links = spark.createDataFrame(
+        [
+            ("s1", "http://h/detail/1"),
+            ("s1", "http://h/missing/2"),
+            ("s2", "http://h/detail/3"),
+            ("s2", "http://h/other/4"),
+            ("s3", "http://h/x"),
+        ],
+        "source string, url string",
+    )
+    rules = spark.createDataFrame(
+        [("s1", None, "/missing/"), ("s2", "/detail/", None)],
+        "source string, link_allow string, link_deny string",
+    )
+    out = {(r["source"], r["url"]) for r in apply_link_rules(links, rules).collect()}
+    assert out == {
+        ("s1", "http://h/detail/1"),
+        ("s2", "http://h/detail/3"),
+        ("s3", "http://h/x"),  # no rules row -> pass through
+    }
+    # registry dim shape
+    assert link_rules_df(spark).columns == ["source", "link_allow", "link_deny"]
+
+    # engine-level: a deny rule keeps dead links out of the frontier
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=2,
+                   dead_link_rate=1.0, retry_rate=0.0)
+    deny = spark.createDataFrame(
+        [(f"spider_{h.split('.')[0]}", None, "/missing/") for h in spec.hosts],
+        "source string, link_allow string, link_deny string",
+    )
+    cfg = CrawlConfig(crawl_id="lr", n_buckets=8, wave_seconds=1.0, max_waves=40)
+    s1 = SnapshotStore(spark, str(tmp_path / "with_rules"))
+    e1 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec),
+                     s1, cfg, link_rules=deny)
+    e1.run(seeds_df(spark, spec))
+    s2 = SnapshotStore(spark, str(tmp_path / "no_rules"))
+    e2 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), s2, cfg)
+    e2.run(seeds_df(spark, spec))
+    seen1 = e1.url_seen().count()
+    seen2 = e2.url_seen().count()
+    assert seen1 < seen2  # the /missing/ candidates never got admitted
+    d1 = {r["doc_id"] for r in e1.documents().select("doc_id").collect()}
+    d2 = {r["doc_id"] for r in e2.documents().select("doc_id").collect()}
+    assert d1 == d2  # documents unaffected (dead links 404 anyway)
+
+
 def test_resume_from_checkpoint(spark, tmp_path):
     """Kill after wave k, resume, final state identical to a full run."""
     spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=3)
@@ -164,6 +237,11 @@ def test_sitemap_seed_expansion_unit(spark):
             ("http://a.example/list?page=1", "sa", {}, 0),
             ("http://b.example/sitemap.xml", "sb", {"k": "v"}, 2),
             ("http://c.example/missing.xml", "sc", {}, 0),
+            # gzip-named + fragment-bearing sitemap URLs must also be
+            # recognized (Scrapy handles .gz; our table stores the
+            # decoded XML under the .gz name)
+            ("http://d.example/sitemap.xml.gz", "sd", {}, 1),
+            ("http://e.example/sitemap.xml#frag", "se", {}, 0),
         ],
         schemas.SEEDS,
     )
@@ -179,6 +257,10 @@ def test_sitemap_seed_expansion_unit(spark):
                 "<urlset><url><loc> http://b.example/p1 </loc></url>"
                 "<url><loc>http://b.example/p2</loc></url></urlset>",
             ),
+            (
+                "http://d.example/sitemap.xml.gz",
+                "<urlset><url><loc>http://d.example/pz</loc></url></urlset>",
+            ),
         ],
         "url string, xml string",
     )
@@ -188,6 +270,9 @@ def test_sitemap_seed_expansion_unit(spark):
         ("http://a.example/list?page=1", "sa", 0),
         ("http://b.example/p1", "sb", 2),
         ("http://b.example/p2", "sb", 2),
+        ("http://d.example/pz", "sd", 1),
+        # e.example's fragment URL is RECOGNIZED as a sitemap (so it is
+        # not crawled as a page) but has no table row -> dropped miss
     }
     meta = {r["url"]: r["meta"] for r in out}
     assert meta["http://b.example/p1"] == {"k": "v"}  # meta inherited

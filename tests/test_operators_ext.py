@@ -659,6 +659,17 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.6, f"recall {recall:.2f}"
+    # sampled quantizer fit (the 100 TB default — min_train_rows forces
+    # the sample path on this small corpus) still recalls well
+    sampled = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.ivf_topk(
+            emb, queries, dim=64, k=5, n_centroids=16, n_probe=6,
+            min_train_rows=64,
+        ).collect()
+    }
+    recall_s = len(truth & sampled) / len(truth)
+    assert recall_s >= 0.5, f"sampled-fit recall {recall_s:.2f}"
 
 
 def test_selector_engine_unit():
