@@ -902,8 +902,8 @@ def test_proxy_routing(spark):
 
     dim = spark.createDataFrame(
         [
-            ("site_de", "de", "de", ".", ",", None, "de", ["http://x/"]),
-            ("site_us", "us", "en", ",", ".", None, None, ["http://y/"]),
+            ("site_de", "de", "de", ".", ",", None, "de", None, None, ["http://x/"]),
+            ("site_us", "us", "en", ",", ".", None, None, None, None, ["http://y/"]),
         ],
         SPIDERS_DIM,
     )

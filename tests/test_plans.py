@@ -121,11 +121,16 @@ def test_extract_links_single_arrow_stage(spark):
 
     fetched = spark.createDataFrame(
         [
-            ("c", "http://h/list?page=1", "s", {"k": "v"}, 0, 1, ["/a", "b", "http://x/c"], True, 200),
+            ("c", "http://h/list?page=1", "http://h/list?page=1", "s", {"k": "v"},
+             0, 1, ["/a", "b", "http://x/c"], True, 200),
+            # detail page with a continuation link: the meta doc_id
+            # threading must stay pure-JVM (no extra Python stage)
+            ("c", "http://h/detail/1", "http://h/detail/1", "s", {"k": "v"},
+             0, 2, ["/detail/1/p2"], False, 200),
         ],
-        "crawl_id string, url string, source string, meta map<string,string>, "
-        "priority int, discovered_seq long, out_links array<string>, "
-        "is_listing_page boolean, status int",
+        "crawl_id string, url string, canonical_url string, source string, "
+        "meta map<string,string>, priority int, discovered_seq long, "
+        "out_links array<string>, is_listing_page boolean, status int",
     )
     out = extract_links(fetched)
     plan = physical(out)
