@@ -545,6 +545,18 @@ def q_xpath_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         first(
             xpath_extract(h, "//div[contains(@class,'card')]//dd[1]/text()")
         ).alias("floor_first"),
+        # -- wave-2 predicate forms (round-3 second pass) --
+        first(
+            xpath_extract(h, "//li[not(contains(.,'Balcon'))]/text()")
+        ).alias("surface_li"),
+        first(
+            xpath_extract(h, "//td[.='Zimmer']/following-sibling::td/text()")
+        ).alias("rooms_eq"),
+        first(xpath_extract(h, "normalize-space(//dl)")).alias("dl_norm"),
+        first(xpath_extract(h, "//script/parent::div/@class")).alias("card_class"),
+        F.concat_ws(
+            "|", xpath_extract(h, "//dt/text() | //td[1]/text()")
+        ).alias("keys_union"),
     )
 
 
@@ -2203,7 +2215,13 @@ def oracle_sql() -> dict[str, str]:
                    '48.' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
                        AS lat,
                    '/i/' || doc_id || '_2.jpg' AS img2,
-                   'EG' AS floor_first
+                   'EG' AS floor_first,
+                   'Surface habitable ' || (doc_id % 120 + 18) || ' m2'
+                       AS surface_li,
+                   CAST(doc_id % 5 + 1 AS VARCHAR) AS rooms_eq,
+                   'Etage EG ' || (doc_id % 6) AS dl_norm,
+                   'card rental' AS card_class,
+                   'Etage|Zimmer|Miete' AS keys_union
             FROM documents
         """,
         "fetch_rates": """

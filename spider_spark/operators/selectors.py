@@ -8,23 +8,33 @@ with ``html.parser``:
 
 * CSS: descendant combination by whitespace, ``>`` child combinator,
   simple selectors ``tag``, ``*``, ``.class``, ``#id``, ``[attr]``,
-  ``[attr=value]``, ``:nth-child(n)`` (259 spiders), Scrapy's
+  ``[attr=value]`` plus the ``*=`` / ``~=`` / ``^=`` / ``$=`` operators,
+  ``:nth-child(n)`` (259 spiders), ``:not(<simple>)``, Scrapy's
   non-standard ``:contains("s")``, plus the ``::text`` /
   ``::attr(name)`` extraction suffixes.
-* XPath: ``//tag`` / ``/tag`` steps with predicates
-  ``[@attr]``, ``[@attr="v"]``, ``[contains(@attr,"s")]`` (1,787
-  spiders), ``[contains(text(),"s")]`` (454), ``[contains(.,"s")]``
-  (the ``//script[contains(.,'LatLng')]`` idiom), positional ``[n]``
-  and ``[last()]``; axes ``following-sibling::`` (1,531 spiders) and
-  ``preceding-sibling::`` (61), including the text-node targets
-  ``following-sibling::text()`` and ``following-sibling::text()[1]``;
-  terminal ``/text()``, ``//text()`` and ``/@attr``.
+* XPath: ``//tag`` / ``/tag`` steps with boolean predicate expressions
+  combining ``[@attr]``, ``[@attr="v"]``, ``[contains(@attr,"s")]``
+  (1,787 spiders), ``[contains(text(),"s")]`` (454),
+  ``[contains(.,"s")]``, string-value equality ``[.="v"]`` (833) /
+  ``[text()="v"]`` (67), ``[normalize-space()="v"]``, existence of a
+  relative path ``[span[...]]`` / ``[./span[...]]`` / ``[.//a]``
+  (~300), and ``self::tag`` — composable with ``and`` (251), ``or``
+  (760) and ``not(...)`` (500 spiders, e.g. ``[not(contains(.,'NC'))]``);
+  positional ``[n]`` and ``[last()]`` applied in predicate order; axes
+  ``following-sibling::`` (1,531 spiders), ``preceding-sibling::``
+  (61), ``parent::`` (424) and the ``..`` abbreviation (290),
+  including the text-node targets ``following-sibling::text()`` and
+  ``text()[1]`` / ``text()[not(contains(.,'0'))]``; terminal
+  ``/text()``, ``//text()`` and ``/@attr`` (with optional value
+  predicate, ``@href[contains(.,'mailto')]`` — 95 spiders); top-level
+  union ``a | b`` (228 spiders) and the outer functions
+  ``normalize-space(<path>)`` (233) and ``count(<path>)`` (69).
 
-Both compile to the same step matcher; evaluation is one iterative
-pass per page inside a pandas UDF — Arrow batch in, ``array<string>``
-out.  All DOM walks use explicit stacks (no recursion), so
-adversarially deep-nested HTML degrades gracefully instead of raising
-RecursionError inside a Spark task.
+Everything compiles to the same step matcher; evaluation is one
+iterative pass per page inside a pandas UDF — Arrow batch in,
+``array<string>`` out.  All DOM walks use explicit stacks (no
+recursion), so adversarially deep-nested HTML degrades gracefully
+instead of raising RecursionError inside a Spark task.
 
 Extraction semantics mirror parsel/Scrapy observably:
 
@@ -35,6 +45,13 @@ Extraction semantics mirror parsel/Scrapy observably:
   here is our documented normalization).
 * default extraction (no ::text / text()) yields the node's normalized
   descendant text, matching how spiders consume ``.get()``.
+* documented divergences: string-value comparisons (``[.="v"]``,
+  ``[text()="v"]``, ``contains(text(),..)``) compare NORMALIZED text
+  (real XPath compares raw — spiders write ``[.='BEDROOMS']`` against
+  whitespace-padded markup and rely on tight HTML; normalizing matches
+  their intent); union results are per-branch document order,
+  concatenated in branch order (branches in the reference are layout
+  fallbacks — at most one usually matches a given page).
 """
 
 from __future__ import annotations
@@ -150,19 +167,225 @@ def parse_tree(html: str) -> _Node:
     return p.root
 
 
+# ---------------------------------------------------------------------------
+# predicate expressions (evaluated against an element node OR a text/attr
+# string — ``_strval`` is the XPath string-value of either)
+# ---------------------------------------------------------------------------
+
+
+def _strval(subject) -> str:
+    return subject if isinstance(subject, str) else subject.all_text()
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+@dataclass(frozen=True)
+class _Not:
+    inner: object
+
+    def eval(self, subject) -> bool:
+        return not self.inner.eval(subject)
+
+
+@dataclass(frozen=True)
+class _And:
+    parts: tuple
+
+    def eval(self, subject) -> bool:
+        return all(p.eval(subject) for p in self.parts)
+
+
+@dataclass(frozen=True)
+class _Or:
+    parts: tuple
+
+    def eval(self, subject) -> bool:
+        return any(p.eval(subject) for p in self.parts)
+
+
+@dataclass(frozen=True)
+class _AttrTest:
+    """``@a`` / ``@a='v'``; with ``pred`` set, ``@a[<pred on value>]``."""
+
+    name: str
+    value: str | None = None
+    pred: object | None = None
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return False  # text nodes have no attributes
+        if self.name not in subject.attrs:
+            return False
+        v = subject.attrs.get(self.name) or ""
+        if self.value is not None and v != self.value:
+            return False
+        if self.pred is not None and not self.pred.eval(v):
+            return False
+        return True
+
+
+@dataclass(frozen=True)
+class _ContainsAttr:
+    name: str
+    sub: str
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return False
+        return self.sub in (subject.attrs.get(self.name) or "")
+
+
+@dataclass(frozen=True)
+class _ContainsText:
+    """``contains(text(), 's')`` — the node's DIRECT text (normalized)."""
+
+    sub: str
+
+    def eval(self, subject) -> bool:
+        t = subject if isinstance(subject, str) else subject.direct_text()
+        return self.sub in t
+
+
+@dataclass(frozen=True)
+class _ContainsString:
+    """``contains(., 's')`` — the node's full string-value."""
+
+    sub: str
+
+    def eval(self, subject) -> bool:
+        return self.sub in _strval(subject)
+
+
+@dataclass(frozen=True)
+class _StringEq:
+    """``.='v'`` — normalized string-value equality (see module doc)."""
+
+    value: str
+
+    def eval(self, subject) -> bool:
+        return _norm(_strval(subject)) == self.value
+
+
+@dataclass(frozen=True)
+class _TextEq:
+    """``text()='v'`` — ANY direct text node equals v (normalized)."""
+
+    value: str
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return _norm(subject) == self.value
+        return any(t == self.value for t in subject.text_nodes(deep=False))
+
+
+@dataclass(frozen=True)
+class _HasText:
+    """bare ``text()`` predicate — node has a non-blank direct text node."""
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return bool(subject.strip())
+        return bool(subject.text_nodes(deep=False))
+
+
+@dataclass(frozen=True)
+class _NormSpace:
+    """``normalize-space()`` (truthy) / ``normalize-space()='v'``."""
+
+    value: str | None = None
+
+    def eval(self, subject) -> bool:
+        s = _norm(_strval(subject))
+        return bool(s) if self.value is None else s == self.value
+
+
+@dataclass(frozen=True)
+class _SelfTag:
+    """``self::tag`` — subject is an element with this tag."""
+
+    tag: str
+
+    def eval(self, subject) -> bool:
+        return not isinstance(subject, str) and subject.tag == self.tag
+
+
+@dataclass(frozen=True)
+class _ExistsPath:
+    """Relative-path existence: ``[span[...]]`` / ``[./a]`` / ``[.//img]``."""
+
+    steps: tuple
+    mode: str | None
+    attr: str | None
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return False
+        selected = _select(subject, list(self.steps))
+        if self.mode == "attr":
+            return any(
+                not isinstance(n, str) and self.attr in n.attrs for n in selected
+            )
+        return bool(selected)
+
+
+@dataclass(frozen=True)
+class _CssNot:
+    """CSS ``:not(<simple>)`` — structural non-match of a simple selector."""
+
+    step: object
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return True
+        return not (
+            self.step.matches(subject)
+            and all(p.eval(subject) for kind, p in self.step.preds if kind == "bool")
+        )
+
+
+@dataclass(frozen=True)
+class _CssAttrOp:
+    """CSS ``[a*=v]`` (contains) / ``[a~=v]`` (word) / ``[a^=v]`` / ``[a$=v]``."""
+
+    name: str
+    op: str
+    value: str
+
+    def eval(self, subject) -> bool:
+        if isinstance(subject, str):
+            return False
+        v = subject.attrs.get(self.name)
+        if v is None:
+            return False
+        if self.op == "*=":
+            return self.value in v
+        if self.op == "~=":
+            return self.value in v.split()
+        if self.op == "^=":
+            return v.startswith(self.value)
+        return v.endswith(self.value)  # $=
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
 @dataclass
 class _Step:
-    axis: str = "descendant"  # descendant|child|following-sibling|preceding-sibling
+    #: descendant|child|following-sibling|preceding-sibling|parent
+    axis: str = "descendant"
     tag: str | None = None  # None = any element ('*')
     node_id: str | None = None
     classes: tuple = ()
-    attrs: tuple = ()  # (name, value-or-None) equality pairs
-    attr_contains: tuple = ()  # (name, substring) — contains(@a, "s")
-    text_contains: tuple = ()  # substrings — contains(text(), "s") / :contains()
-    alltext_contains: tuple = ()  # substrings — contains(., "s")
-    position: int | None = None  # 1-based axis position; -1 = last()
-    nth_child: int | None = None  # CSS :nth-child(n) — nth ELEMENT child of parent
+    nth_child: int | None = None  # CSS :nth-child(n) — nth ELEMENT child
     is_text: bool = False  # text() node test (terminal extraction step)
+    is_parent: bool = False  # '..' abbreviation (parent of context set)
+    #: ordered predicate list: ("pos", n) with n=-1 for last(), or
+    #: ("bool", expr) — applied in source order (XPath filter semantics)
+    preds: tuple = ()
 
     def matches(self, node: _Node) -> bool:
         if self.tag and node.tag != self.tag:
@@ -172,20 +395,6 @@ class _Step:
         node_classes = (node.attrs.get("class") or "").split()
         for c in self.classes:
             if c not in node_classes:
-                return False
-        for name, value in self.attrs:
-            if name not in node.attrs:
-                return False
-            if value is not None and node.attrs.get(name) != value:
-                return False
-        for name, sub in self.attr_contains:
-            if sub not in (node.attrs.get(name) or ""):
-                return False
-        for sub in self.text_contains:
-            if sub not in node.direct_text():
-                return False
-        for sub in self.alltext_contains:
-            if sub not in node.all_text():
                 return False
         if self.nth_child is not None:
             parent = node.parent
@@ -200,22 +409,41 @@ class _Step:
         return True
 
 
+#: a compiled single path: element steps + extraction mode
+@dataclass(frozen=True)
+class _Branch:
+    steps: tuple
+    mode: str | None  # None | 'text' | 'attr'
+    attr: str | None
+    attr_pred: object | None = None  # predicate over the attr VALUE string
+
+
+#: a full compiled selector: union branches + optional outer function
+@dataclass(frozen=True)
+class _Compiled:
+    branches: tuple
+    outer: str | None = None  # None | 'normalize-space' | 'count'
+
+
 # ---------------------------------------------------------------------------
 # CSS compilation
 # ---------------------------------------------------------------------------
 
+_CSS_ATTR = r"\[[\w-]+(?:[*~^$]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
 _CSS_TOKEN = re.compile(
     r"(?P<tag>\*|[a-zA-Z][\w-]*)?"
     r"(?P<rest>(?:[.#][\w-]+"
-    r"|\[[\w-]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
+    rf"|{_CSS_ATTR}"
     r"|:nth-child\(\d+\)"
-    r"|:contains\((?:\"[^\"]*\"|'[^']*')\))*)$"
+    r"|:contains\((?:\"[^\"]*\"|'[^']*')\)"
+    r"|:not\([^()]*\))*)$"
 )
 _CSS_PART = re.compile(
     r"[.#][\w-]+"
-    r"|\[[\w-]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
+    rf"|{_CSS_ATTR}"
     r"|:nth-child\(\d+\)"
     r"|:contains\((?:\"[^\"]*\"|'[^']*')\)"
+    r"|:not\([^()]*\)"
 )
 
 
@@ -228,7 +456,8 @@ def _parse_simple_css(token: str, child: bool) -> _Step:
         tag=None if tag in (None, "*") else tag,
         axis="child" if child else "descendant",
     )
-    classes, attrs, text_contains = [], [], []
+    classes: list[str] = []
+    preds: list[tuple] = []
     for part in _CSS_PART.findall(m.group("rest") or ""):
         if part.startswith("."):
             classes.append(part[1:])
@@ -237,16 +466,23 @@ def _parse_simple_css(token: str, child: bool) -> _Step:
         elif part.startswith(":nth-child"):
             step.nth_child = int(part[len(":nth-child("):-1])
         elif part.startswith(":contains"):
-            text_contains.append(part[len(":contains(") + 1:-2])
-        else:  # [attr] or [attr=value]
+            # Scrapy's :contains() matches the node's FULL text (lxml
+            # set:contains over descendant text), not just direct text
+            preds.append(("bool", _ContainsString(part[len(":contains(") + 1:-2])))
+        elif part.startswith(":not("):
+            preds.append(("bool", _CssNot(_parse_simple_css(part[5:-1], False))))
+        else:  # [attr], [attr=v], [attr*=v], [attr~=v], [attr^=v], [attr$=v]
             inner = part[1:-1]
-            name, eq, value = inner.partition("=")
-            attrs.append((name, value.strip("\"'") if eq else None))
+            om = re.match(r"([\w-]+)(?:([*~^$]?=)(.*))?$", inner)
+            name, op, value = om.group(1), om.group(2), om.group(3)
+            if op is None:
+                preds.append(("bool", _AttrTest(name, None)))
+            elif op == "=":
+                preds.append(("bool", _AttrTest(name, value.strip("\"'"))))
+            else:
+                preds.append(("bool", _CssAttrOp(name, op, value.strip("\"'"))))
     step.classes = tuple(classes)
-    step.attrs = tuple(attrs)
-    # Scrapy's :contains() matches on the node's FULL text (lxml
-    # set:contains over descendant text), not just direct text
-    step.alltext_contains = tuple(text_contains)
+    step.preds = tuple(preds)
     return step
 
 
@@ -279,35 +515,242 @@ def compile_css(selector: str) -> tuple[list[_Step], str | None, str | None]:
 # ---------------------------------------------------------------------------
 
 _AXES = {
-    "": None,  # resolved from the separator
     "child::": "child",
     "descendant::": "descendant",
     "following-sibling::": "following-sibling",
     "preceding-sibling::": "preceding-sibling",
+    "parent::": "parent",
 }
 
 _XP_SEP = re.compile(r"//|/")
-_XP_AXIS = re.compile(r"(?:child|descendant|following-sibling|preceding-sibling)::")
-_XP_TEST = re.compile(r"@[\w-]+|text\(\)|\*|[a-zA-Z][\w-]*")
-#: one [...] predicate; string literals may not contain their own quote
-_XP_PRED = re.compile(
-    r"\[(?:"
-    r"(?P<last>last\(\))"
-    r"|(?P<pos>\d+)"
-    r"|contains\(\s*(?P<csub>@[\w-]+|text\(\)|\.)\s*,\s*"
-    r"(?:\"(?P<cv1>[^\"]*)\"|'(?P<cv2>[^']*)')\s*\)"
-    r"|@(?P<aname>[\w-]+)(?:=(?:\"(?P<av1>[^\"]*)\"|'(?P<av2>[^']*)'))?"
-    r")\]"
+_XP_AXIS = re.compile(
+    r"(?:child|descendant|following-sibling|preceding-sibling|parent)::"
 )
+_XP_TEST = re.compile(r"@[\w-]+|text\(\)|\.\.|\*|[a-zA-Z][\w-]*")
+_XP_LITERAL = re.compile(r"\"([^\"]*)\"|'([^']*)'")
+
+
+def _lit(m: re.Match) -> str:
+    return m.group(1) if m.group(1) is not None else m.group(2)
+
+
+class _PredParser:
+    """Recursive-descent parser for one ``[...]`` predicate body."""
+
+    def __init__(self, src: str):
+        self.src = src
+        self.pos = 0
+
+    def _ws(self):
+        while self.pos < len(self.src) and self.src[self.pos] == " ":
+            self.pos += 1
+
+    def _eat(self, token: str) -> bool:
+        self._ws()
+        if self.src.startswith(token, self.pos):
+            self.pos += len(token)
+            return True
+        return False
+
+    def _literal(self) -> str:
+        self._ws()
+        m = _XP_LITERAL.match(self.src, self.pos)
+        if not m:
+            raise ValueError(f"expected string literal at {self.src[self.pos:]!r}")
+        self.pos = m.end()
+        return _lit(m)
+
+    def _expect(self, token: str):
+        if not self._eat(token):
+            raise ValueError(
+                f"expected {token!r} at {self.src[self.pos:]!r} in predicate"
+            )
+
+    def parse(self):
+        expr = self.or_expr()
+        self._ws()
+        if self.pos != len(self.src):
+            raise ValueError(f"trailing predicate content: {self.src[self.pos:]!r}")
+        return expr
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self._eat(" or ") or self._eat("or "):
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else _Or(tuple(parts))
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while self._eat(" and ") or self._eat("and "):
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else _And(tuple(parts))
+
+    def unary(self):
+        self._ws()
+        if self._eat("not("):
+            inner = self.or_expr()
+            self._expect(")")
+            return _Not(inner)
+        if self._eat("("):
+            inner = self.or_expr()
+            self._expect(")")
+            return inner
+        return self.atom()
+
+    def atom(self):
+        self._ws()
+        src, i = self.src, self.pos
+        if self._eat("contains("):
+            arg = self._contains_arg()
+            self._expect(",")
+            sub = self._literal()
+            self._expect(")")
+            return arg(sub)
+        if self._eat("normalize-space()"):
+            if self._eat("="):
+                return _NormSpace(self._literal())
+            return _NormSpace(None)
+        if self._eat("normalize-space(text())"):
+            if self._eat("="):
+                return _NormSpace(self._literal())
+            return _NormSpace(None)
+        if self._eat("self::"):
+            m = re.compile(r"[a-zA-Z][\w-]*").match(self.src, self.pos)
+            if not m:
+                raise ValueError(f"bad self:: test at {src[self.pos:]!r}")
+            self.pos = m.end()
+            return _SelfTag(m.group())
+        if self._eat("text()"):
+            if self._eat("="):
+                return _TextEq(self._literal())
+            return _HasText()
+        if self._eat(".="):
+            return _StringEq(self._literal())
+        if self._eat(". ="):
+            return _StringEq(self._literal())
+        if src.startswith("@", self.pos):
+            m = re.compile(r"@([\w-]+)").match(src, self.pos)
+            self.pos = m.end()
+            name = m.group(1)
+            if self._eat("["):  # @href[contains(.,'mailto')]
+                inner = self.or_expr()
+                self._expect("]")
+                return _AttrTest(name, None, inner)
+            if self._eat("="):
+                return _AttrTest(name, self._literal())
+            return _AttrTest(name, None)
+        # relative path existence: ./x, .//x, x[...], x/y
+        if src.startswith((".//", "./"), self.pos) or re.compile(
+            r"[a-zA-Z][\w-]*"
+        ).match(src, self.pos):
+            path = self._scan_path()
+            return _exists_path(path)
+        raise ValueError(f"unsupported predicate atom at {src[i:]!r}")
+
+    def _contains_arg(self):
+        self._ws()
+        if self._eat("@"):
+            m = re.compile(r"[\w-]+").match(self.src, self.pos)
+            self.pos = m.end()
+            name = m.group()
+            return lambda sub: _ContainsAttr(name, sub)
+        if self._eat("text()"):
+            return _ContainsText
+        if self._eat("normalize-space(.)") or self._eat("normalize-space()"):
+            return _ContainsString
+        if self._eat("."):
+            return _ContainsString
+        raise ValueError(
+            f"unsupported contains() argument at {self.src[self.pos:]!r}"
+        )
+
+    def _scan_path(self) -> str:
+        """Consume a relative path up to a depth-0 boolean delimiter."""
+        src, start = self.src, self.pos
+        depth = 0
+        while self.pos < len(src):
+            ch = src[self.pos]
+            if ch in "\"'":
+                m = _XP_LITERAL.match(src, self.pos)
+                if not m:
+                    raise ValueError(f"unterminated literal in {src!r}")
+                self.pos = m.end()
+                continue
+            if ch in "[(":
+                depth += 1
+            elif ch in "])":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and src.startswith(" and ", self.pos):
+                break
+            elif depth == 0 and src.startswith(" or ", self.pos):
+                break
+            self.pos += 1
+        return src[start:self.pos]
+
+
+def _exists_path(path: str) -> _ExistsPath:
+    """Compile a relative path used as an existence predicate."""
+    p = path.strip()
+    if p.startswith(".//"):
+        p = p[1:]  # './/a' -> '//a'
+    elif p.startswith("./"):
+        p = p[1:]  # './a' -> '/a'
+    elif not p.startswith("/"):
+        p = "/" + p  # 'span[...]' -> '/span[...]'
+    steps, mode, attr = compile_xpath(p)
+    return _ExistsPath(tuple(steps), mode, attr)
+
+
+def _parse_pred_group(body: str) -> tuple:
+    """One ``[...]`` body -> ("pos", n) or ("bool", expr)."""
+    b = body.strip()
+    if b == "last()":
+        return ("pos", -1)
+    if b.isdigit():
+        return ("pos", int(b))
+    return ("bool", _PredParser(b).parse())
+
+
+def _scan_pred_body(src: str, pos: int) -> tuple[str, int]:
+    """From '[' at src[pos], return (body, end_pos_after_bracket) —
+    bracket/paren aware, quote aware."""
+    assert src[pos] == "["
+    depth = 0
+    i = pos
+    while i < len(src):
+        ch = src[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(src, i)
+            if not m:
+                raise ValueError(f"unterminated literal in {src!r}")
+            i = m.end()
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return src[pos + 1:i], i + 1
+        i += 1
+    raise ValueError(f"unbalanced predicate bracket in {src!r}")
 
 
 def compile_xpath(xpath: str) -> tuple[list[_Step], str | None, str | None]:
-    """-> same triple as compile_css for the supported xpath subset."""
+    """Compile ONE path (no union / outer function) -> (steps, mode, attr).
+
+    Terminal-attribute value predicates (``@href[...]``) are attached to
+    the final compiled object by ``compile_selector``; this function
+    stores them on the returned steps list via the ``_attr_pred``
+    attribute for backward compatibility of the triple shape.
+    """
     src = xpath.strip()
     pos = 0
     steps: list[_Step] = []
     mode: str | None = None
     attr: str | None = None
+    attr_pred = None
     while pos < len(src):
         if mode is not None:
             raise ValueError(f"@attr must be terminal: {xpath!r}")
@@ -318,7 +761,7 @@ def compile_xpath(xpath: str) -> tuple[list[_Step], str | None, str | None]:
         axis = "descendant" if sep.group() == "//" else "child"
         am = _XP_AXIS.match(src, pos)
         if am:
-            axis = am.group()[:-2]
+            axis = _AXES[am.group()]
             pos = am.end()
         tm = _XP_TEST.match(src, pos)
         if not tm:
@@ -327,48 +770,109 @@ def compile_xpath(xpath: str) -> tuple[list[_Step], str | None, str | None]:
         pos = tm.end()
         if test.startswith("@"):
             mode, attr = "attr", test[1:]
+            # optional value predicate: @href[contains(.,'mailto')]
+            if pos < len(src) and src[pos] == "[":
+                body, pos = _scan_pred_body(src, pos)
+                kind, p = _parse_pred_group(body)
+                if kind != "bool":
+                    raise ValueError(
+                        f"@{attr} supports only boolean predicates: {xpath!r}"
+                    )
+                attr_pred = p
             continue
         step = _Step(axis=axis)
         if test == "text()":
             step.is_text = True
             mode = "text"
+        elif test == "..":
+            step.is_parent = True
         elif test != "*":
             step.tag = test
-        attrs, attr_contains, text_contains, alltext_contains = [], [], [], []
+        preds: list[tuple] = []
         while pos < len(src) and src[pos] == "[":
-            pm = _XP_PRED.match(src, pos)
-            if not pm:
-                raise ValueError(f"unsupported predicate: {xpath!r} at {src[pos:]!r}")
-            pos = pm.end()
-            if pm.group("last"):
-                step.position = -1
-            elif pm.group("pos"):
-                step.position = int(pm.group("pos"))
-            elif pm.group("csub") is not None:
-                sub = pm.group("cv1") if pm.group("cv1") is not None else pm.group("cv2")
-                target = pm.group("csub")
-                if target == "text()":
-                    text_contains.append(sub)
-                elif target == ".":
-                    alltext_contains.append(sub)
-                else:
-                    attr_contains.append((target[1:], sub))
-            else:
-                name = pm.group("aname")
-                v = pm.group("av1") if pm.group("av1") is not None else pm.group("av2")
-                attrs.append((name, v))
-        step.attrs = tuple(attrs)
-        step.attr_contains = tuple(attr_contains)
-        step.text_contains = tuple(text_contains)
-        step.alltext_contains = tuple(alltext_contains)
-        if step.is_text and (attrs or attr_contains or text_contains or alltext_contains):
-            raise ValueError(f"text() supports only positional predicates: {xpath!r}")
+            body, pos = _scan_pred_body(src, pos)
+            preds.append(_parse_pred_group(body))
+        step.preds = tuple(preds)
         steps.append(step)
         if step.is_text and pos < len(src):
             raise ValueError(f"text() must be terminal: {xpath!r}")
     if not steps:
         raise ValueError(f"empty xpath: {xpath!r}")
+    # smuggle the attr predicate out without changing the public triple
+    steps = list(steps)
+    if attr_pred is not None:
+        steps[-1]._attr_pred = attr_pred  # type: ignore[attr-defined]
     return steps, mode, attr
+
+
+def _split_union(src: str) -> list[str]:
+    """Split a selector on top-level ``|`` (quote / bracket / paren aware)."""
+    parts: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    while i < len(src):
+        ch = src[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(src, i)
+            if not m:
+                raise ValueError(f"unterminated literal in {src!r}")
+            i = m.end()
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append(src[start:i])
+            start = i + 1
+        i += 1
+    parts.append(src[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_OUTER_FN = re.compile(r"(normalize-space|count)\((.*)\)$", re.S)
+
+
+def compile_selector(selector: str, lang: str = "css") -> _Compiled:
+    """Full compiler: union + outer functions -> ``_Compiled``."""
+    sel = selector.strip()
+    outer = None
+    if lang == "xpath":
+        m = _OUTER_FN.match(sel)
+        if m and _balanced(m.group(2)):
+            outer = m.group(1)
+            sel = m.group(2).strip()
+        branches = []
+        for part in _split_union(sel):
+            steps, mode, attr = compile_xpath(part)
+            attr_pred = getattr(steps[-1], "_attr_pred", None)
+            branches.append(_Branch(tuple(steps), mode, attr, attr_pred))
+        return _Compiled(tuple(branches), outer)
+    steps, mode, attr = compile_css(sel)
+    return _Compiled((_Branch(tuple(steps), mode, attr),), None)
+
+
+def _balanced(s: str) -> bool:
+    """True if parens/brackets balance (so the outer fn really wraps s)."""
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(s, i)
+            if not m:
+                return False
+            i = m.end()
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +901,8 @@ def _axis_elements(ctx: _Node, axis: str) -> list[_Node]:
         return ctx.children
     if axis == "descendant":
         return _descendants(ctx)
+    if axis == "parent":
+        return [ctx.parent] if ctx.parent is not None else []
     parent = ctx.parent
     if parent is None:
         return []
@@ -440,21 +946,17 @@ def _axis_text_nodes(ctx: _Node, axis: str) -> list[str]:
     return out
 
 
-def _apply_position(matched: list, step: _Step, by_parent: bool) -> list:
+def _apply_position(matched: list, position: int, by_parent: bool) -> list:
     """Positional predicate over already-matched candidates.
 
     ``by_parent=True`` (child/descendant axes): XPath positions count
     within each parent's matching children (``//p[2]`` = every p that is
     the 2nd p child of ITS parent). Sibling axes count along the axis.
     """
-    if step.position is None:
-        return matched
-    if not by_parent:
-        if step.position == -1:
+    if not by_parent or (matched and isinstance(matched[0], str)):
+        if position == -1:
             return matched[-1:] if matched else []
-        return (
-            [matched[step.position - 1]] if len(matched) >= step.position else []
-        )
+        return [matched[position - 1]] if len(matched) >= position else []
     groups: dict[int, list[_Node]] = {}
     order: list[int] = []
     for n in matched:
@@ -466,11 +968,40 @@ def _apply_position(matched: list, step: _Step, by_parent: bool) -> list:
     out = []
     for key in order:
         g = groups[key]
-        if step.position == -1:
+        if position == -1:
             out.append(g[-1])
-        elif len(g) >= step.position:
-            out.append(g[step.position - 1])
+        elif len(g) >= position:
+            out.append(g[position - 1])
     return out
+
+
+def _parent_set(ctx: _Node, axis: str) -> list[_Node]:
+    """The ``..`` step: parent(s) of the context along the separator.
+
+    ``/..`` = parent of ctx; ``//..`` = parents of descendant-or-self
+    (deduped, document order)."""
+    if axis != "descendant":
+        return [ctx.parent] if ctx.parent is not None else []
+    out: list[_Node] = []
+    seen: set[int] = set()
+    for n in [ctx] + _descendants(ctx):
+        p = n.parent
+        if p is not None and id(p) not in seen:
+            seen.add(id(p))
+            out.append(p)
+    return out
+
+
+def _run_preds(candidates: list, step: _Step, by_parent: bool) -> list:
+    """Apply the step's ordered predicate list (filters + positions)."""
+    for kind, p in step.preds:
+        if not candidates:
+            return candidates
+        if kind == "pos":
+            candidates = _apply_position(candidates, p, by_parent)
+        else:
+            candidates = [c for c in candidates if p.eval(c)]
+    return candidates
 
 
 def _select(root: _Node, steps: list[_Step]) -> list:
@@ -481,18 +1012,24 @@ def _select(root: _Node, steps: list[_Step]) -> list:
             texts: list[str] = []
             for ctx in current:
                 nodes = _axis_text_nodes(ctx, step.axis)
-                nodes = _apply_position(nodes, step, by_parent=False)
+                nodes = _run_preds(nodes, step, by_parent=False)
                 if step.axis == "preceding-sibling":
                     nodes.reverse()  # results in document order (lxml)
                 texts.extend(nodes)
             return texts
         nxt: list[_Node] = []
         seen: set[int] = set()
+        by_parent = step.axis in ("child", "descendant")
         for ctx in current:
-            matched = [n for n in _axis_elements(ctx, step.axis) if step.matches(n)]
-            matched = _apply_position(
-                matched, step, by_parent=step.axis in ("child", "descendant")
-            )
+            if step.is_parent:
+                matched = [
+                    n for n in _parent_set(ctx, step.axis) if step.matches(n)
+                ]
+            else:
+                matched = [
+                    n for n in _axis_elements(ctx, step.axis) if step.matches(n)
+                ]
+            matched = _run_preds(matched, step, by_parent)
             if step.axis == "preceding-sibling":
                 # axis order is reversed for position counting; emit the
                 # surviving nodes back in document order (lxml nodesets)
@@ -505,31 +1042,46 @@ def _select(root: _Node, steps: list[_Step]) -> list:
     return current
 
 
-def _extract(selected: list, mode: str | None, attr: str | None) -> list[str]:
+def _extract(selected: list, mode: str | None, attr: str | None,
+             attr_pred=None) -> list[str]:
     if selected and isinstance(selected[0], str):
         return selected  # already text nodes from a text() step
     if mode == "attr":
-        return [n.attrs[attr] for n in selected if attr in n.attrs]
+        vals = [n.attrs[attr] for n in selected if attr in n.attrs]
+        if attr_pred is not None:
+            vals = [v for v in vals if attr_pred.eval(v)]
+        return vals
     if mode == "text":  # text() step matched nothing
         return []
     return [n.all_text() for n in selected]
 
 
+def _run_compiled(root: _Node, compiled: _Compiled) -> list[str]:
+    out: list[str] = []
+    for b in compiled.branches:
+        out.extend(_extract(_select(root, list(b.steps)), b.mode, b.attr,
+                            b.attr_pred))
+    if compiled.outer == "count":
+        # lxml returns an XPath number; .getall() stringifies it ('3.0')
+        return [str(float(len(out)))]
+    if compiled.outer == "normalize-space":
+        # XPath string(): the FIRST node's string-value; '' when empty.
+        # Always a single result, like lxml's string-result selectors.
+        return [_norm(out[0]) if out else ""]
+    return out
+
+
 def select_html(html: str, selector: str, lang: str = "css") -> list[str]:
     """Evaluate one selector against one page (driver-side helper)."""
-    steps, mode, attr = (compile_css if lang == "css" else compile_xpath)(selector)
-    return _extract(_select(parse_tree(html), steps), mode, attr)
+    return _run_compiled(parse_tree(html), compile_selector(selector, lang))
 
 
 def _selector_udf(selector: str, lang: str):
-    compiled = (compile_css if lang == "css" else compile_xpath)(selector)
+    compiled = compile_selector(selector, lang)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def run(html: pd.Series) -> pd.Series:
-        steps, mode, attr = compiled
-        return pd.Series(
-            [_extract(_select(parse_tree(h), steps), mode, attr) for h in html]
-        )
+        return pd.Series([_run_compiled(parse_tree(h), compiled) for h in html])
 
     return run
 

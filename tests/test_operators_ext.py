@@ -752,6 +752,53 @@ def test_selector_predicates_and_axes():
     assert c("*.btn::text") == ["next1"]
 
 
+def test_selector_predicates_wave2():
+    """Round-3 second-pass parity forms, by reference frequency:
+    ``[.='v']`` string-value equality (833 spiders), boolean
+    ``or``/``and`` (760/251), ``not()`` (500), ``parent::``/``..``
+    (424/290), ``normalize-space()`` predicate + outer fn (446),
+    ``|`` union (228), child-path existence predicates (~300),
+    ``@attr[...]`` nested predicate (95), outer ``count()`` (69)."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        "<html><body>"
+        '<ul class="nav"><li class="active"><a href="/cur">Cur</a></li>'
+        '<li><a href="/n1">N1</a></li><li><a href="/n2">N2</a></li></ul>'
+        '<div class="det"><span> Price :   1 200 EUR </span></div>'
+        "<table><tr><td>Kaution</td><td>900</td></tr>"
+        "<tr><td> Etage </td><td>2</td></tr></table>"
+        '<p class="a">x</p><p>y</p>'
+        '<div id="w"><strong>Rooms</strong> 3 <br><strong>Bath</strong> 1</div>'
+        '<a href="mailto:x@y.z">mail</a><a href="/plain">plain</a>'
+        "</body></html>"
+    )
+    x = lambda sel: select_html(html, sel, lang="xpath")
+    assert x("//li[not(@class)]/a/@href") == ["/n1", "/n2"]
+    assert x("//li[not(contains(@class,'active'))]/a/text()") == ["N1", "N2"]
+    assert x("//td[.='Kaution']/following-sibling::td/text()") == ["900"]
+    # normalize-space() as predicate (whitespace-padded cell) and outer fn
+    assert x("//td[normalize-space()='Etage']/following-sibling::td/text()") == ["2"]
+    assert x("normalize-space(//div[@class='det']/span)") == ["Price : 1 200 EUR"]
+    assert x("count(//li)") == ["3.0"]
+    # boolean or / and
+    assert x("//td[.='Kaution' or .='Etage']/following-sibling::td/text()") == [
+        "900", "2",
+    ]
+    assert x("//li[@class and .//a]/a/@href") == ["/cur"]
+    # union: per-branch document order, concatenated (documented divergence)
+    assert x("//p[@class='a']/text() | //td[.='Kaution']/text()") == ["x", "Kaution"]
+    # parent axis, both spellings
+    assert x("//a[@href='/cur']/parent::li/@class") == ["active"]
+    assert x("//ul/li/..//a/@href") == ["/cur", "/n1", "/n2"]
+    # child-path existence predicate
+    assert x("//li[./a[contains(@href,'n1')]]/a/text()") == ["N1"]
+    # @attr[...] nested predicate
+    assert x("//a[@href[contains(.,'mailto')]]/text()") == ["mail"]
+    # following-sibling::text() after strong key (key-value div idiom)
+    assert x("//strong[.='Rooms']/following-sibling::text()[1]") == ["3"]
+
+
 def test_selector_deep_nesting_no_recursion():
     """Adversarially deep HTML (>sys.getrecursionlimit() nested tags)
     must degrade gracefully — the DOM walk is iterative (ADVICE r2)."""
