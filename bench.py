@@ -141,7 +141,9 @@ def bench_crawl_loop(spark, reps: int | None = None):
         t0 = time.monotonic()
         totals = eng.run(seeds_df(spark, spec))
         times.append(time.monotonic() - t0)
+        eng.close()  # drop the per-engine canonical-web cache between reps
         shutil.rmtree(root, ignore_errors=True)
+    web.unpersist()
     times.sort()
     med = times[len(times) // 2]
     return med, {
@@ -249,6 +251,19 @@ def bench_queries(spark, sf_dir: str):
     return out
 
 
+def cpu_drift_probe(spins: int = 20_000_000) -> float:
+    """Single-process fixed busy-spin wall time. Run before and after the
+    bench: if the two numbers differ materially (>15%), the box slowed or
+    sped up mid-run and the per-query deltas vs earlier rounds are noise,
+    not code. Recorded in the output JSON so the artifact carries its own
+    noise evidence (rounds 1->2 were compared blind to box drift)."""
+    i = 0
+    t0 = time.monotonic()
+    while i < spins:
+        i += 1
+    return round(time.monotonic() - t0, 3)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frontier-only", action="store_true")
@@ -262,6 +277,7 @@ def main():
 
     # benches opt into tmpfs local dirs (shared-disk spill serializes
     # multi-core scaling on this box); ordinary sessions stay on disk
+    probe_pre = cpu_drift_probe()
     spark = get_spark("spider_spark_bench", cpus=args.cpus, tmpfs_local_dir=True)
     cpus = spark.sparkContext.defaultParallelism
     sf_dir = DEFAULT_SF_DIR
@@ -295,6 +311,7 @@ def main():
         "frontier_urls_per_sec": fstats["urls_per_sec"],
         "crawl_loop": crawl_stats,
         "cpus": cpus,
+        "cpu_probe_s": {"pre": probe_pre, "post": cpu_drift_probe()},
     }
     print(json.dumps(result))
 

@@ -79,6 +79,14 @@ class CrawlEngine:
         self.link_rules = link_rules
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
+    def close(self) -> None:
+        """Release the canonical-web cache. Engines are cheap to build
+        but each construction pins one persisted DataFrame; loops that
+        build many engines over one session (bench reps, test suites)
+        should close each when done or the executor cache accumulates
+        one dead copy per engine."""
+        self.web.unpersist()
+
     # -- admission ----------------------------------------------------------
     def _admit(self, candidates: DataFrame, wave: int) -> tuple[DataFrame, DataFrame]:
         """identity -> intra-batch dedup -> seen-set dedup.
