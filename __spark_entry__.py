@@ -557,6 +557,22 @@ def q_xpath_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "|", xpath_extract(h, "//dt/text() | //td[1]/text()")
         ).alias("keys_union"),
+        # -- wave-3: substring-after/-before outer fns (352 spiders), incl.
+        # the nested script-literal slice shape --
+        first(
+            xpath_extract(
+                h,
+                "substring-before(substring-after("
+                "//script[contains(.,'LatLng')]/text(), ', '), ');')",
+            )
+        ).alias("lng"),
+        first(
+            xpath_extract(
+                h,
+                "substring-before("
+                "//td[.='Miete']/following-sibling::td/text(), ' €')",
+            )
+        ).alias("rent_num"),
     )
 
 
@@ -2221,7 +2237,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 5 + 1 AS VARCHAR) AS rooms_eq,
                    'Etage EG ' || (doc_id % 6) AS dl_norm,
                    'card rental' AS card_class,
-                   'Etage|Zimmer|Miete' AS keys_union
+                   'Etage|Zimmer|Miete' AS keys_union,
+                   '2.' || lpad(CAST((doc_id * 53) % 10000 AS VARCHAR), 4, '0')
+                       AS lng,
+                   CAST(doc_id % 2500 + 250 AS VARCHAR) AS rent_num
             FROM documents
         """,
         "fetch_rates": """

@@ -28,7 +28,10 @@ with ``html.parser``:
   ``/text()``, ``//text()`` and ``/@attr`` (with optional value
   predicate, ``@href[contains(.,'mailto')]`` — 95 spiders); top-level
   union ``a | b`` (228 spiders) and the outer functions
-  ``normalize-space(<path>)`` (233) and ``count(<path>)`` (69).
+  ``normalize-space(<path>)`` (233), ``count(<path>)`` (69) and the
+  chainable ``substring-after(<path>, "s")`` /
+  ``substring-before(<path>, "s")`` pair (352 spiders — usually nested
+  to slice coordinates out of inline-script literals).
 
 Everything compiles to the same step matcher; evaluation is one
 iterative pass per page inside a pandas UDF — Arrow batch in,
@@ -418,11 +421,16 @@ class _Branch:
     attr_pred: object | None = None  # predicate over the attr VALUE string
 
 
-#: a full compiled selector: union branches + optional outer function
+#: a full compiled selector: union branches + a chain of outer string
+#: functions, OUTERMOST FIRST. Each element is ``('normalize-space',)``,
+#: ``('count',)``, or ``('substring-after'|'substring-before', literal)``
+#: — the reference nests the substring forms to slice values out of
+#: inline-script literals (352 spiders, e.g.
+#: ``substring-before(substring-after(//script/text(), 'lat: '), ',')``).
 @dataclass(frozen=True)
 class _Compiled:
     branches: tuple
-    outer: str | None = None  # None | 'normalize-space' | 'count'
+    outer: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -831,26 +839,63 @@ def _split_union(src: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-_OUTER_FN = re.compile(r"(normalize-space|count)\((.*)\)$", re.S)
+_OUTER_FN = re.compile(
+    r"(normalize-space|count|substring-after|substring-before)\((.*)\)$", re.S
+)
+
+
+def _split_outer_args(s: str) -> tuple[str, str] | None:
+    """Split ``<path> , <literal>`` at the top-level comma; None if the
+    tail is not a bare string literal (then s isn't a 2-arg call)."""
+    depth, i = 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(s, i)
+            if not m:
+                return None
+            i = m.end()
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            m = _XP_LITERAL.match(s[i + 1 :].strip())
+            if not m or m.end() != len(s[i + 1 :].strip()):
+                return None
+            return s[:i].strip(), _lit(m)
+        i += 1
+    return None
 
 
 def compile_selector(selector: str, lang: str = "css") -> _Compiled:
     """Full compiler: union + outer functions -> ``_Compiled``."""
     sel = selector.strip()
-    outer = None
+    outer: list[tuple] = []
     if lang == "xpath":
-        m = _OUTER_FN.match(sel)
-        if m and _balanced(m.group(2)):
-            outer = m.group(1)
-            sel = m.group(2).strip()
+        while True:
+            m = _OUTER_FN.match(sel)
+            if not (m and _balanced(m.group(2))):
+                break
+            fn, inner = m.group(1), m.group(2).strip()
+            if fn in ("substring-after", "substring-before"):
+                split = _split_outer_args(inner)
+                if split is None:
+                    break
+                inner, lit = split
+                outer.append((fn, lit))
+            else:
+                outer.append((fn,))
+            sel = inner
         branches = []
         for part in _split_union(sel):
             steps, mode, attr = compile_xpath(part)
             attr_pred = getattr(steps[-1], "_attr_pred", None)
             branches.append(_Branch(tuple(steps), mode, attr, attr_pred))
-        return _Compiled(tuple(branches), outer)
+        return _Compiled(tuple(branches), tuple(outer))
     steps, mode, attr = compile_css(sel)
-    return _Compiled((_Branch(tuple(steps), mode, attr),), None)
+    return _Compiled((_Branch(tuple(steps), mode, attr),))
 
 
 def _balanced(s: str) -> bool:
@@ -1061,13 +1106,22 @@ def _run_compiled(root: _Node, compiled: _Compiled) -> list[str]:
     for b in compiled.branches:
         out.extend(_extract(_select(root, list(b.steps)), b.mode, b.attr,
                             b.attr_pred))
-    if compiled.outer == "count":
-        # lxml returns an XPath number; .getall() stringifies it ('3.0')
-        return [str(float(len(out)))]
-    if compiled.outer == "normalize-space":
-        # XPath string(): the FIRST node's string-value; '' when empty.
-        # Always a single result, like lxml's string-result selectors.
-        return [_norm(out[0]) if out else ""]
+    # outer string-function chain, applied innermost-first (compile
+    # order is outermost-first). String conversion per XPath: the FIRST
+    # node's string-value; '' when the node-set is empty.
+    for fn in reversed(compiled.outer):
+        if fn[0] == "count":
+            # lxml returns an XPath number; .getall() stringifies ('3.0')
+            out = [str(float(len(out)))]
+        elif fn[0] == "normalize-space":
+            out = [_norm(out[0]) if out else ""]
+        else:
+            s, needle = (out[0] if out else ""), fn[1]
+            idx = s.find(needle)
+            if fn[0] == "substring-after":
+                out = [s[idx + len(needle) :] if idx >= 0 else ""]
+            else:  # substring-before
+                out = [s[:idx] if idx >= 0 else ""]
     return out
 
 

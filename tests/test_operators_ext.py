@@ -799,6 +799,42 @@ def test_selector_predicates_wave2():
     assert x("//strong[.='Rooms']/following-sibling::text()[1]") == ["3"]
 
 
+def test_selector_substring_outer_fns():
+    """``substring-after``/``substring-before`` outer string functions
+    (352 spiders), incl. the nested script-literal slice the reference
+    leans on for coordinates (e.g. the
+    substring-before(substring-after(//script/text(), 'lat: '), ',')
+    shape) and chaining with normalize-space."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        "<html><body>"
+        "<script>var opts = { lat: 50.8503, lng: 4.3517, zoom: 12 };</script>"
+        '<span class="rent"> 1 250 EUR / month </span>'
+        "<div><dt>Ref</dt><dd>AB-1234-XY</dd></div>"
+        "</body></html>"
+    )
+    x = lambda sel: select_html(html, sel, lang="xpath")
+    assert x(
+        "substring-before(substring-after(//script/text(), 'lat: '), ',')"
+    ) == ["50.8503"]
+    assert x(
+        "substring-before(substring-after(//script[contains(.,'lng')]/text(),"
+        " 'lng: '), ',')"
+    ) == ["4.3517"]
+    # string conversion takes the FIRST node's string-value (text nodes
+    # are whitespace-normalized on extraction — engine-wide convention)
+    assert x("substring-before(//span[@class='rent']/text(), ' EUR')") == ["1 250"]
+    assert x(
+        "normalize-space(substring-before(//span[@class='rent']/text(), ' EUR'))"
+    ) == ["1 250"]
+    assert x("substring-after(//dd/text(), 'AB-')") == ["1234-XY"]
+    assert x("substring-before(substring-after(//dd/text(), '-'), '-')") == ["1234"]
+    # needle absent / empty node-set -> '' (XPath semantics)
+    assert x("substring-after(//dd/text(), 'ZZ')") == [""]
+    assert x("substring-before(//em/text(), '-')") == [""]
+
+
 def test_selector_deep_nesting_no_recursion():
     """Adversarially deep HTML (>sys.getrecursionlimit() nested tags)
     must degrade gracefully — the DOM walk is iterative (ADVICE r2)."""
