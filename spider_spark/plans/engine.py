@@ -50,6 +50,9 @@ class CrawlConfig:
     seen_backend: str | None = None  # None->use_bloom flag; "exact"|"bloom"|"cuckoo"
     bloom_capacity: int = 1 << 20
     bloom_fpr: float = 1e-6
+    #: opt-in per-wave phase timing (adds one materializing count per
+    #: wave, so keep it off for benchmarks; totals gain a "profile" list)
+    profile: bool = False
 
     def backend(self) -> str:
         return self.seen_backend or ("bloom" if self.use_bloom else "exact")
@@ -170,6 +173,8 @@ class CrawlEngine:
             wave = 1
 
         totals = {"fetched": 0, "docs": 0, "waves": 0}
+        if cfg.profile:
+            totals["profile"] = []
         n_pending = pending.count()  # parquet count: metadata-only, cheap
         while wave <= cfg.max_waves:
             if n_pending == 0:
@@ -234,6 +239,11 @@ class CrawlEngine:
             pstats = next_pending.agg(F.count("*").alias("n")).select(
                 F.lit("pending").alias("side"), "n", F.lit(0).cast("long").alias("x")
             )
+            prof: dict[str, float] = {}
+            if cfg.profile:
+                t_f = time.monotonic()
+                fetched.count()  # materialize schedule+fetch in isolation
+                prof["fetch_s"] = round(time.monotonic() - t_f, 3)
             # the docs / frontier / url_seen writes and the stat collect
             # are independent jobs over persisted inputs — submit them
             # concurrently from driver threads (Spark schedules them in
@@ -256,7 +266,9 @@ class CrawlEngine:
                         for r in astats.unionByName(fstats).unionByName(pstats).collect()
                     }
                 )
+                t_p = time.monotonic()
                 stats = stats_fut.result()
+                prof["stats_s"] = round(time.monotonic() - t_p, 3)
                 n_admitted = stats["admitted"]["n"]
                 n_docs = int(stats["fetched"]["x"] or 0)
                 metrics = (
@@ -284,9 +296,15 @@ class CrawlEngine:
                 frontier_fut.result()
                 seen_fut.result()
                 metrics_fut.result()
+                prof["writes_s"] = round(time.monotonic() - t_p, 3)
             next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
             n_fetched = stats["fetched"]["n"]
+            t_c = time.monotonic()
             self.store.commit_wave(wave, {"next_seq_base": next_base})
+            if cfg.profile:
+                prof["commit_s"] = round(time.monotonic() - t_c, 3)
+                prof["wave_s"] = round(time.monotonic() - t0, 3)
+                totals["profile"].append(prof)
 
             if cfg.autothrottle:
                 # fold this wave's latency into the policy dim (per-host

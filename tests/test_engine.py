@@ -226,6 +226,21 @@ def test_metrics_lineage_recorded(engine_run):
     assert m.filter(F.col("host_bucket").isNull()).count() == 0
 
 
+def test_profile_flag_records_per_wave_phases(spark, tmp_path):
+    """CrawlConfig(profile=True) appends a per-wave phase-timing dict
+    (fetch/stats/writes/commit/wave) to totals; off by default."""
+    spec = WebSpec(seed=7, n_hosts=2, pages_per_host=1, details_per_page=2)
+    _eng, totals, _store = run_engine(spark, tmp_path, spec=spec, profile=True)
+    prof = totals["profile"]
+    assert len(prof) == totals["waves"] > 0
+    for p in prof:
+        assert set(p) == {"fetch_s", "stats_s", "writes_s", "commit_s", "wave_s"}
+        assert p["wave_s"] >= p["fetch_s"] >= 0
+    # default path has no profile key (bench totals stay unchanged)
+    _eng2, totals2, _s2 = run_engine(spark, tmp_path / "p2", spec=spec)
+    assert "profile" not in totals2
+
+
 def test_sitemap_seed_expansion_unit(spark):
     """expand_sitemap_seeds: passthrough for plain seeds, <loc>
     explosion for sitemap seeds, index->leaf recursion, unknown
