@@ -573,6 +573,26 @@ def q_xpath_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "//td[.='Miete']/following-sibling::td/text(), ' €')",
             )
         ).alias("rent_num"),
+        # -- wave-4: following::/preceding:: closure axes (24 spiders),
+        # self::tag[pred] / | union in predicates (23), concat() (8) --
+        first(
+            xpath_extract(h, "//td[.='Zimmer']/following::li[1]/text()")
+        ).alias("li_after"),
+        first(
+            xpath_extract(h, "//table/following::dd[last()]/text()")
+        ).alias("floor_following"),
+        first(
+            xpath_extract(h, "//script/preceding::li[1]/text()")
+        ).alias("li_before_script"),
+        F.concat_ws(
+            "|", xpath_extract(h, "//dl/*[not(self::dt)]/text()")
+        ).alias("dds"),
+        F.concat_ws(
+            "|", xpath_extract(h, "//dl/*[self::dt | self::dd]/text()")
+        ).alias("dl_all"),
+        first(
+            xpath_extract(h, "concat(//dt/text(), ': ', //dd/text())")
+        ).alias("dl_pair"),
     )
 
 
@@ -2240,7 +2260,15 @@ def oracle_sql() -> dict[str, str]:
                    'Etage|Zimmer|Miete' AS keys_union,
                    '2.' || lpad(CAST((doc_id * 53) % 10000 AS VARCHAR), 4, '0')
                        AS lng,
-                   CAST(doc_id % 2500 + 250 AS VARCHAR) AS rent_num
+                   CAST(doc_id % 2500 + 250 AS VARCHAR) AS rent_num,
+                   'Surface habitable ' || (doc_id % 120 + 18) || ' m2'
+                       AS li_after,
+                   CAST(doc_id % 6 AS VARCHAR) AS floor_following,
+                   'Balcon : ' || (CASE WHEN doc_id % 2 = 0 THEN 'oui'
+                                        ELSE 'non' END) AS li_before_script,
+                   'EG|' || (doc_id % 6) AS dds,
+                   'Etage|EG|' || (doc_id % 6) AS dl_all,
+                   'Etage: EG' AS dl_pair
             FROM documents
         """,
         "fetch_rates": """

@@ -24,7 +24,14 @@ with ``html.parser``:
   ``following-sibling::`` (1,531 spiders), ``preceding-sibling::``
   (61), ``parent::`` (424) and the ``..`` abbreviation (290),
   including the text-node targets ``following-sibling::text()`` and
-  ``text()[1]`` / ``text()[not(contains(.,'0'))]``; terminal
+  ``text()[1]`` / ``text()[not(contains(.,'0'))]``; the document-order
+  closure axes ``following::`` (24 spiders — the
+  ``label/following::div[1]`` key-value table idiom) and
+  ``preceding::``; ``self::tag[pred]`` inside predicates incl. the
+  ``[not(self::span[@class='bold'])]`` and ``*[self::h1 | self::h2]``
+  shapes (23 spiders — ``|`` at predicate top level is the node-set
+  union, truthy iff either side matches); top-level
+  ``concat(path, ' ', path)`` (8 spiders); terminal
   ``/text()``, ``//text()`` and ``/@attr`` (with optional value
   predicate, ``@href[contains(.,'mailto')]`` — 95 spiders); top-level
   union ``a | b`` (228 spiders) and the outer functions
@@ -433,6 +440,15 @@ class _Compiled:
     outer: tuple = ()
 
 
+#: top-level ``concat(a, ' ', b, ...)`` (8 reference spiders — stitching
+#: two layout fields into one string, e.g. address = title + zipcode).
+#: args: ordered mix of ("lit", s) and ("path", _Compiled); evaluates to
+#: ONE string — each path contributes its first result or ''.
+@dataclass(frozen=True)
+class _ConcatCompiled:
+    args: tuple
+
+
 # ---------------------------------------------------------------------------
 # CSS compilation
 # ---------------------------------------------------------------------------
@@ -527,12 +543,15 @@ _AXES = {
     "descendant::": "descendant",
     "following-sibling::": "following-sibling",
     "preceding-sibling::": "preceding-sibling",
+    "following::": "following",
+    "preceding::": "preceding",
     "parent::": "parent",
 }
 
 _XP_SEP = re.compile(r"//|/")
 _XP_AXIS = re.compile(
-    r"(?:child|descendant|following-sibling|preceding-sibling|parent)::"
+    r"(?:child|descendant|following-sibling|preceding-sibling"
+    r"|following|preceding|parent)::"
 )
 _XP_TEST = re.compile(r"@[\w-]+|text\(\)|\.\.|\*|[a-zA-Z][\w-]*")
 _XP_LITERAL = re.compile(r"\"([^\"]*)\"|'([^']*)'")
@@ -583,7 +602,10 @@ class _PredParser:
 
     def or_expr(self):
         parts = [self.and_expr()]
-        while self._eat(" or ") or self._eat("or "):
+        # ``|`` inside a predicate is a node-set union; as a boolean it
+        # is truthy iff either side is non-empty — i.e. ``or``
+        # (``[self::h1 | self::h2]``, ``[./a | ./b]`` reference shapes)
+        while self._eat(" or ") or self._eat("or ") or self._eat("|"):
             parts.append(self.and_expr())
         return parts[0] if len(parts) == 1 else _Or(tuple(parts))
 
@@ -627,7 +649,18 @@ class _PredParser:
             if not m:
                 raise ValueError(f"bad self:: test at {src[self.pos:]!r}")
             self.pos = m.end()
-            return _SelfTag(m.group())
+            expr = _SelfTag(m.group())
+            # self::span[@class='bold'] — trailing predicates AND onto
+            # the same subject (the not(self::tag[...]) reference shape)
+            while self.pos < len(self.src) and self.src[self.pos] == "[":
+                body, self.pos = _scan_pred_body(self.src, self.pos)
+                kind, p = _parse_pred_group(body)
+                if kind != "bool":
+                    raise ValueError(
+                        f"positional predicate on self:: at {src[i:]!r}"
+                    )
+                expr = _And((expr, p))
+            return expr
         if self._eat("text()"):
             if self._eat("="):
                 return _TextEq(self._literal())
@@ -693,6 +726,8 @@ class _PredParser:
             elif depth == 0 and src.startswith(" and ", self.pos):
                 break
             elif depth == 0 and src.startswith(" or ", self.pos):
+                break
+            elif depth == 0 and ch == "|":
                 break
             self.pos += 1
         return src[start:self.pos]
@@ -869,11 +904,46 @@ def _split_outer_args(s: str) -> tuple[str, str] | None:
     return None
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split on depth-0 commas (quote / bracket / paren aware)."""
+    parts: list[str] = []
+    depth, i, start = 0, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(s, i)
+            if not m:
+                raise ValueError(f"unterminated literal in {s!r}")
+            i = m.end()
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
 def compile_selector(selector: str, lang: str = "css") -> _Compiled:
     """Full compiler: union + outer functions -> ``_Compiled``."""
     sel = selector.strip()
     outer: list[tuple] = []
     if lang == "xpath":
+        if sel.startswith("concat(") and sel.endswith(")") and _balanced(
+            sel[len("concat("):-1]
+        ):
+            args: list[tuple] = []
+            for a in _split_top_commas(sel[len("concat("):-1]):
+                m = _XP_LITERAL.match(a)
+                if m and m.end() == len(a):
+                    args.append(("lit", _lit(m)))
+                else:
+                    args.append(("path", compile_selector(a, "xpath")))
+            return _ConcatCompiled(tuple(args))
         while True:
             m = _OUTER_FN.match(sel)
             if not (m and _balanced(m.group(2))):
@@ -948,6 +1018,32 @@ def _axis_elements(ctx: _Node, axis: str) -> list[_Node]:
         return _descendants(ctx)
     if axis == "parent":
         return [ctx.parent] if ctx.parent is not None else []
+    if axis in ("following", "preceding"):
+        # document-order closure: every ancestor level contributes its
+        # sibling subtrees. For ``following`` the nearest level's
+        # subtrees come FIRST in document order (they start right after
+        # ctx's subtree ends); for ``preceding`` (a reverse axis —
+        # nearest node first) the nearest level's preceding siblings are
+        # the LATEST in document order, so level-by-level nearest-first
+        # with each level reversed yields axis order directly.
+        out: list[_Node] = []
+        node = ctx
+        while node.parent is not None:
+            parent = node.parent
+            sibs = [c for c in parent.content if isinstance(c, _Node)]
+            i = sibs.index(node)
+            if axis == "following":
+                for s in sibs[i + 1:]:
+                    out.append(s)
+                    out.extend(_descendants(s))
+            else:
+                level: list[_Node] = []
+                for s in sibs[:i]:
+                    level.append(s)
+                    level.extend(_descendants(s))
+                out.extend(level[::-1])
+            node = parent
+        return out
     parent = ctx.parent
     if parent is None:
         return []
@@ -971,6 +1067,29 @@ def _axis_text_nodes(ctx: _Node, axis: str) -> list[str]:
         return ctx.text_nodes(deep=False)
     if axis == "descendant":
         return ctx.text_nodes(deep=True)
+    if axis in ("following", "preceding"):
+        out: list[str] = []
+        node = ctx
+        while node.parent is not None:
+            parent = node.parent
+            i = parent.content.index(node)
+            tail = (
+                parent.content[i + 1:]
+                if axis == "following"
+                else parent.content[:i][::-1]
+            )
+            level: list[str] = []
+            for c in tail:
+                if isinstance(c, str):
+                    t = " ".join(c.split())
+                    if t:
+                        level.append(t)
+                else:
+                    texts = c.text_nodes(deep=True)
+                    level.extend(texts if axis == "following" else texts[::-1])
+            out.extend(level)
+            node = parent
+        return out
     parent = ctx.parent
     if parent is None:
         return []
@@ -1058,7 +1177,7 @@ def _select(root: _Node, steps: list[_Step]) -> list:
             for ctx in current:
                 nodes = _axis_text_nodes(ctx, step.axis)
                 nodes = _run_preds(nodes, step, by_parent=False)
-                if step.axis == "preceding-sibling":
+                if step.axis in ("preceding-sibling", "preceding"):
                     nodes.reverse()  # results in document order (lxml)
                 texts.extend(nodes)
             return texts
@@ -1075,7 +1194,7 @@ def _select(root: _Node, steps: list[_Step]) -> list:
                     n for n in _axis_elements(ctx, step.axis) if step.matches(n)
                 ]
             matched = _run_preds(matched, step, by_parent)
-            if step.axis == "preceding-sibling":
+            if step.axis in ("preceding-sibling", "preceding"):
                 # axis order is reversed for position counting; emit the
                 # surviving nodes back in document order (lxml nodesets)
                 matched = matched[::-1]
@@ -1101,7 +1220,16 @@ def _extract(selected: list, mode: str | None, attr: str | None,
     return [n.all_text() for n in selected]
 
 
-def _run_compiled(root: _Node, compiled: _Compiled) -> list[str]:
+def _run_compiled(root: _Node, compiled) -> list[str]:
+    if isinstance(compiled, _ConcatCompiled):
+        pieces = []
+        for kind, v in compiled.args:
+            if kind == "lit":
+                pieces.append(v)
+            else:
+                res = _run_compiled(root, v)
+                pieces.append(res[0] if res else "")
+        return ["".join(pieces)]
     out: list[str] = []
     for b in compiled.branches:
         out.extend(_extract(_select(root, list(b.steps)), b.mode, b.attr,

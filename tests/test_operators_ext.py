@@ -835,6 +835,49 @@ def test_selector_substring_outer_fns():
     assert x("substring-before(//em/text(), '-')") == [""]
 
 
+def test_selector_wave4_axes_self_concat():
+    """Round-3 tail idioms: ``following::``/``preceding::`` closure axes
+    (24 spiders — the label/following::div key-value idiom), predicate
+    ``self::tag[pred]`` + ``|`` node-set union as boolean or (23 — e.g.
+    span[not(self::span[@class='bold'])]), top-level concat() (8)."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        "<div><h4>Adresse</h4><div>Main St <b>5</b></div>"
+        "<h4>Objektart</h4><div>Wohnung</div>"
+        "<span>Kaution</span>"
+        '<ul><li><span>x</span><span class="bold">Slaapkamers</span>'
+        "<span>3</span></li></ul>"
+        '<div class="t"><h1>Tit</h1><h2>Sub</h2><h3>skip</h3></div>'
+        '<span class="a">Ville</span><span class="b">75001</span>'
+        "<p>last</p></div>"
+    )
+    x = lambda sel: select_html(html, sel, lang="xpath")
+    # following:: — everything after in document order (excl. descendants)
+    assert x('//h4[contains(text(),"Adresse")]/following::div/text()') == [
+        "Main St", "Wohnung"]
+    assert x('//h4[contains(text(),"Objektart")]/following::div//text()') == [
+        "Wohnung", "Tit", "Sub", "skip"]
+    # positional is per-context along the axis (nearest first)
+    assert x("//h4/following::div[1]//text()") == ["Main St", "5", "Wohnung"]
+    assert x('//span[@class="bold"]/following::span/text()') == [
+        "3", "Ville", "75001"]
+    # preceding:: — reverse axis; results emitted back in document order
+    assert x("//p/preceding::span/text()") == [
+        "Kaution", "x", "Slaapkamers", "3", "Ville", "75001"]
+    assert x("//h3/preceding::h1[1]/text()") == ["Tit"]
+    # self:: with trailing predicate inside not() (15walmer-family shape)
+    assert x("//li/span[not(self::span[@class='bold'])]/text()") == ["x", "3"]
+    # | union inside a predicate == boolean or
+    assert x("//div[@class='t']/*[self::h1 | self::h2]/text()") == ["Tit", "Sub"]
+    assert x("//div[@class='t']/*[not(self::h3)]/text()") == ["Tit", "Sub"]
+    # concat(): one string; each path arg contributes first-or-''
+    assert x(
+        "concat(//span[@class='a']/text(), ', ', //span[@class='b']/text())"
+    ) == ["Ville, 75001"]
+    assert x("concat(//em/text(), '-', //span[@class='a']/text())") == ["-Ville"]
+
+
 def test_selector_deep_nesting_no_recursion():
     """Adversarially deep HTML (>sys.getrecursionlimit() nested tags)
     must degrade gracefully — the DOM walk is iterative (ADVICE r2)."""
