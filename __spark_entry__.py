@@ -1158,7 +1158,15 @@ def q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit('">more</a><div class="desc"><p>'),
         F.col("text"),
-        F.lit("</p></div></div>"),
+        # wave-5 CSS grammar targets: sibling combinators, *-of-type,
+        # comma union (the reference's icon-label / feature-list idioms)
+        F.lit('</p></div><ul class="feat"><li>beds</li><li>'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</li><li>baths</li><li>"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</li></ul><div class="ct"><i class="fa-phone"></i><a>+31-'),
+        F.col("doc_id").cast("string"),
+        F.lit("</a></div></div>"),
     )
     staged = docs.select("doc_id", html.alias("html"))
     return staged.select(
@@ -1171,6 +1179,18 @@ def q_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "href"
         ),
         F.element_at(css_extract(F.col("html"), "div.desc p"), 1).alias("desc"),
+        F.element_at(
+            css_extract(F.col("html"), "ul.feat>li:nth-of-type(2)::text"), 1
+        ).alias("beds"),
+        F.element_at(
+            css_extract(F.col("html"), "ul.feat li:last-child::text"), 1
+        ).alias("baths_last"),
+        F.element_at(
+            css_extract(F.col("html"), "div.ct i.fa-phone + a::text"), 1
+        ).alias("phone"),
+        F.element_at(
+            css_extract(F.col("html"), "h2.missing::text, span.price::text"), 1
+        ).alias("union_first"),
     )
 
 
@@ -2237,7 +2257,11 @@ def oracle_sql() -> dict[str, str]:
                    'T' || doc_id AS title,
                    '€ ' || (doc_id % 3000 + 300) AS price_str,
                    '/d/' || doc_id AS href,
-                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS "desc"
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS "desc",
+                   CAST(doc_id % 5 AS VARCHAR) AS beds,
+                   CAST(doc_id % 3 AS VARCHAR) AS baths_last,
+                   '+31-' || doc_id AS phone,
+                   '€ ' || (doc_id % 3000 + 300) AS union_first
             FROM documents
         """,
         "xpath_select": """

@@ -6,12 +6,20 @@ The reference extracts with lxml selectors (``response.xpath(...)`` —
 selector SUBSET those spiders actually use over a minimal DOM built
 with ``html.parser``:
 
-* CSS: descendant combination by whitespace, ``>`` child combinator,
-  simple selectors ``tag``, ``*``, ``.class``, ``#id``, ``[attr]``,
-  ``[attr=value]`` plus the ``*=`` / ``~=`` / ``^=`` / ``$=`` operators,
-  ``:nth-child(n)`` (259 spiders), ``:not(<simple>)``, Scrapy's
-  non-standard ``:contains("s")``, plus the ``::text`` /
-  ``::attr(name)`` extraction suffixes.
+* CSS: descendant combination by whitespace, the ``>`` child (spaced
+  or unspaced — 52 spiders write ``ul>li``), ``+`` adjacent-sibling
+  (46 spiders, the ``i.fa-phone + a`` icon-label idiom) and ``~``
+  general-sibling (5) combinators, comma union ``a, b`` (58 spiders —
+  branch results concatenated in source order, like the xpath ``|``
+  here), simple selectors ``tag``, ``*``, ``.class``, ``#id``,
+  ``[attr]``, ``[attr=value]`` plus the ``*=`` / ``~=`` / ``^=`` /
+  ``$=`` operators, ``:nth-child(n)`` (259 spiders),
+  ``:nth-of-type(n)`` (8) / ``:first-of-type`` / ``:last-of-type``,
+  ``:first-child`` (5) / ``:last-child`` (7), ``:not(<simple>)``,
+  Scrapy's non-standard ``:contains("s")``, plus the ``::text`` /
+  ``::attr(name)`` extraction suffixes (a space before ``::text`` —
+  ``strong ::text`` — extracts DESCENDANT text, parsel's
+  ``descendant-or-self::text()`` translation).
 * XPath: ``//tag`` / ``/tag`` steps with boolean predicate expressions
   combining ``[@attr]``, ``[@attr="v"]``, ``[contains(@attr,"s")]``
   (1,787 spiders), ``[contains(text(),"s")]`` (454),
@@ -390,7 +398,8 @@ class _Step:
     tag: str | None = None  # None = any element ('*')
     node_id: str | None = None
     classes: tuple = ()
-    nth_child: int | None = None  # CSS :nth-child(n) — nth ELEMENT child
+    nth_child: int | None = None  # CSS :nth-child(n); -1 = :last-child
+    nth_of_type: int | None = None  # CSS :nth-of-type(n); -1 = last
     is_text: bool = False  # text() node test (terminal extraction step)
     is_parent: bool = False  # '..' abbreviation (parent of context set)
     #: ordered predicate list: ("pos", n) with n=-1 for last(), or
@@ -412,9 +421,26 @@ class _Step:
                 return False
             elems = [c for c in parent.content if isinstance(c, _Node)]
             try:
-                if elems.index(node) + 1 != self.nth_child:
-                    return False
+                pos = elems.index(node) + 1
             except ValueError:
+                return False
+            want = len(elems) if self.nth_child == -1 else self.nth_child
+            if pos != want:
+                return False
+        if self.nth_of_type is not None:
+            parent = node.parent
+            if parent is None:
+                return False
+            same = [
+                c for c in parent.content
+                if isinstance(c, _Node) and c.tag == node.tag
+            ]
+            try:
+                pos = same.index(node) + 1
+            except ValueError:
+                return False
+            want = len(same) if self.nth_of_type == -1 else self.nth_of_type
+            if pos != want:
                 return False
         return True
 
@@ -454,21 +480,21 @@ class _ConcatCompiled:
 # ---------------------------------------------------------------------------
 
 _CSS_ATTR = r"\[[\w-]+(?:[*~^$]?=(?:\"[^\"]*\"|'[^']*'|[^\]]*))?\]"
-_CSS_TOKEN = re.compile(
-    r"(?P<tag>\*|[a-zA-Z][\w-]*)?"
-    r"(?P<rest>(?:[.#][\w-]+"
-    rf"|{_CSS_ATTR}"
-    r"|:nth-child\(\d+\)"
-    r"|:contains\((?:\"[^\"]*\"|'[^']*')\)"
-    r"|:not\([^()]*\))*)$"
-)
-_CSS_PART = re.compile(
+_CSS_SIMPLE = (
     r"[.#][\w-]+"
     rf"|{_CSS_ATTR}"
     r"|:nth-child\(\d+\)"
+    r"|:nth-of-type\(\d+\)"
+    r"|:(?:first|last)-child"
+    r"|:(?:first|last)-of-type"
     r"|:contains\((?:\"[^\"]*\"|'[^']*')\)"
     r"|:not\([^()]*\)"
 )
+_CSS_TOKEN = re.compile(
+    r"(?P<tag>\*|[a-zA-Z][\w-]*)?"
+    rf"(?P<rest>(?:{_CSS_SIMPLE})*)$"
+)
+_CSS_PART = re.compile(_CSS_SIMPLE)
 
 
 def _parse_simple_css(token: str, child: bool) -> _Step:
@@ -489,6 +515,16 @@ def _parse_simple_css(token: str, child: bool) -> _Step:
             step.node_id = part[1:]
         elif part.startswith(":nth-child"):
             step.nth_child = int(part[len(":nth-child("):-1])
+        elif part.startswith(":nth-of-type"):
+            step.nth_of_type = int(part[len(":nth-of-type("):-1])
+        elif part == ":first-child":
+            step.nth_child = 1
+        elif part == ":last-child":
+            step.nth_child = -1
+        elif part == ":first-of-type":
+            step.nth_of_type = 1
+        elif part == ":last-of-type":
+            step.nth_of_type = -1
         elif part.startswith(":contains"):
             # Scrapy's :contains() matches the node's FULL text (lxml
             # set:contains over descendant text), not just direct text
@@ -510,27 +546,76 @@ def _parse_simple_css(token: str, child: bool) -> _Step:
     return step
 
 
+#: combinator char -> step axis ('' = leading compound)
+_CSS_COMBINATORS = {
+    " ": "descendant",
+    ">": "child",
+    "+": "adjacent-sibling",  # next ELEMENT sibling must match
+    "~": "following-sibling",
+}
+
+
+def _split_css(sel: str) -> list[tuple[str, str]]:
+    """-> ``[(combinator, compound), ...]`` with combinator in
+    ``' '/'>'/'+'/'~'`` (``''`` for the first compound). Quote- and
+    paren-aware so whitespace inside ``:contains('For Rent')`` never
+    splits a compound; combinators bind spaced or unspaced (52 spiders
+    write ``ul>li``, 46 write ``i.fa-phone + a``)."""
+    out: list[tuple[str, str]] = []
+    comb = ""
+    i, n, start, depth = 0, len(sel), 0, 0
+    while i < n:
+        ch = sel[i]
+        if ch in "\"'":
+            m = _XP_LITERAL.match(sel, i)
+            if not m:
+                raise ValueError(f"unterminated literal in css {sel!r}")
+            i = m.end()
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch in " \t>+~":
+            if start == i:
+                raise ValueError(f"dangling combinator in css {sel!r}")
+            out.append((comb, sel[start:i]))
+            comb = " "
+            while i < n and sel[i] in " \t>+~":
+                if sel[i] in ">+~":
+                    comb = sel[i]
+                i += 1
+            start = i
+            continue
+        i += 1
+    if start < n:
+        out.append((comb, sel[start:]))
+    elif comb != " " or not out:
+        raise ValueError(f"dangling combinator in css {sel!r}")
+    return out
+
+
 def compile_css(selector: str) -> tuple[list[_Step], str | None, str | None]:
     """-> (steps, extract_mode, attr_name); mode in {None, 'text', 'attr'}."""
     sel = selector.strip()
-    mode, attr = None, None
+    mode, attr, deep_text = None, None, False
     m = re.search(r"::(text|attr\(([\w-]+)\))$", sel)
     if m:
         mode = "text" if m.group(1) == "text" else "attr"
         attr = m.group(2)
+        # parsel: 'a ::text' (space before ::) = descendant text
+        deep_text = mode == "text" and m.start() > 0 and sel[m.start() - 1] in " \t"
         sel = sel[: m.start()].strip()
     steps: list[_Step] = []
-    child_next = False
-    for token in sel.split():
-        if token == ">":
-            child_next = True
-            continue
-        steps.append(_parse_simple_css(token, child_next))
-        child_next = False
+    for comb, compound in _split_css(sel):
+        step = _parse_simple_css(compound, child=False)
+        step.axis = _CSS_COMBINATORS.get(comb, "descendant")
+        steps.append(step)
     if not steps:
         raise ValueError(f"empty css selector: {selector!r}")
     if mode == "text":
-        steps.append(_Step(axis="child", is_text=True))
+        steps.append(_Step(axis="descendant" if deep_text else "child",
+                           is_text=True))
     return steps, mode, attr
 
 
@@ -964,8 +1049,11 @@ def compile_selector(selector: str, lang: str = "css") -> _Compiled:
             attr_pred = getattr(steps[-1], "_attr_pred", None)
             branches.append(_Branch(tuple(steps), mode, attr, attr_pred))
         return _Compiled(tuple(branches), tuple(outer))
-    steps, mode, attr = compile_css(sel)
-    return _Compiled((_Branch(tuple(steps), mode, attr),))
+    branches = []
+    for part in _split_top_commas(sel):  # 'a, b' union — 58 spiders
+        steps, mode, attr = compile_css(part)
+        branches.append(_Branch(tuple(steps), mode, attr))
+    return _Compiled(tuple(branches))
 
 
 def _balanced(s: str) -> bool:
@@ -1054,6 +1142,8 @@ def _axis_elements(ctx: _Node, axis: str) -> list[_Node]:
         return []
     if axis == "following-sibling":
         return sibs[i + 1:]
+    if axis == "adjacent-sibling":  # CSS '+': the NEXT element sibling
+        return sibs[i + 1:i + 2]
     if axis == "preceding-sibling":
         # axis order is reverse document order (nearest sibling first) —
         # positional predicates count backwards, like lxml

@@ -835,6 +835,48 @@ def test_selector_substring_outer_fns():
     assert x("substring-before(//em/text(), '-')") == [""]
 
 
+def test_selector_css_wave5_combinators_pseudo_union():
+    """CSS tail idioms from the reference fleet: comma union (58
+    spiders), unspaced ``>`` (52 — ``ul.marB0>li:last-child>span``),
+    ``+`` adjacent sibling (46 — ``i.fa-phone + a``), ``~`` general
+    sibling (5), ``:nth-of-type(n)`` (8), ``:last-child`` (7),
+    ``:first-child`` (5), ``:first/last-of-type`` (2), and parsel's
+    space-before-``::text`` descendant-text form."""
+    from spider_spark.operators.selectors import select_html
+
+    html = (
+        "<div><ul class='marB0'><li>a<span class='right width50pc'>A</span>"
+        "</li><li>b<span class='right width50pc'>B</span></li></ul>"
+        "<div class='c'><i class='fa-phone'></i><a>123</a>"
+        "<i class='fa-envelope'></i><a>e@x</a></div>"
+        "<h2>hd</h2><p>p1</p><table><tr><td>t1</td><td>t2</td></tr></table>"
+        "<div class='ad'><b>skip</b><i>i1</i><i>i2</i><i>i3</i></div>"
+        "<article><strong>first<b>deep</b></strong><strong>second</strong>"
+        "</article></div>"
+    )
+    x = lambda s: select_html(html, s, lang="css")
+    # unspaced > chain + :last-child (ul.marB0>li:last-child shape)
+    assert x("ul.marB0>li:last-child>span.right.width50pc::text") == ["B"]
+    assert x("ul li:first-child::text") == ["a"]
+    # + adjacent sibling: the icon-label idiom
+    assert x(".c i.fa-phone + a::text") == ["123"]
+    assert x(".c i.fa-envelope + a::text") == ["e@x"]
+    # + only matches the IMMEDIATE next element sibling
+    assert x(".c i.fa-phone + i") == []
+    # ~ general sibling reaches past intervening siblings
+    assert x("h2 ~ table td:nth-of-type(2)::text") == ["t2"]
+    # nth-of-type counts same-tag siblings only (the <b> doesn't shift it)
+    assert x(".ad i:nth-of-type(2)::text") == ["i2"]
+    assert x(".ad i:last-of-type::text") == ["i3"]
+    assert x(".ad i:first-of-type::text") == ["i1"]
+    # space before ::text = descendant text (parsel translation)
+    assert x("article strong:first-child ::text") == ["first", "deep"]
+    assert x("article strong:first-child::text") == ["first"]
+    # comma union: branch results concatenated in source order
+    assert x("p::text, h2::text") == ["p1", "hd"]
+    assert x("ul li:first-child::text, .ad i:last-of-type::text") == ["a", "i3"]
+
+
 def test_selector_wave4_axes_self_concat():
     """Round-3 tail idioms: ``following::``/``preceding::`` closure axes
     (24 spiders — the label/following::div key-value idiom), predicate
