@@ -53,6 +53,15 @@ class CrawlConfig:
     #: opt-in per-wave phase timing (adds one materializing count per
     #: wave, so keep it off for benchmarks; totals gain a "profile" list)
     profile: bool = False
+    #: compact ``url_seen`` every N committed waves (None = never).
+    #: The exact seen-backend re-reads url_seen every wave, so without
+    #: compaction a long crawl reads hundreds of snapshot dirs ×
+    #: shuffle-partitions small files per wave — the Iceberg small-file
+    #: problem the store's compact() exists for. Bloom/cuckoo backends
+    #: fold state into one filter blob and don't need this.
+    compact_every: int | None = None
+    #: file count for compacted rewrites (None = keep partitioning)
+    compact_partitions: int | None = None
 
     def backend(self) -> str:
         return self.seen_backend or ("bloom" if self.use_bloom else "exact")
@@ -301,6 +310,8 @@ class CrawlEngine:
             n_fetched = stats["fetched"]["n"]
             t_c = time.monotonic()
             self.store.commit_wave(wave, {"next_seq_base": next_base})
+            if cfg.compact_every and wave > 0 and wave % cfg.compact_every == 0:
+                self.store.compact("url_seen", cfg.compact_partitions)
             if cfg.profile:
                 prof["commit_s"] = round(time.monotonic() - t_c, 3)
                 prof["wave_s"] = round(time.monotonic() - t0, 3)

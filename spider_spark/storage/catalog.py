@@ -26,12 +26,26 @@ Append-style tables are read back as the union of committed wave dirs
 (one ``spark.read.parquet(dir1, dir2, ...)``); latest-style tables read
 only the last committed wave. Readers never list the filesystem — they
 trust the manifest, so a dirty directory from a crash is invisible.
+
+**Compaction** (:meth:`SnapshotStore.compact`) is the
+``rewrite_data_files`` analog: at 10^10 URLs a crawl runs hundreds of
+waves, and an append table re-read every wave (``url_seen`` under the
+exact backend) would otherwise accumulate hundreds of snapshot dirs ×
+``shuffle.partitions`` small parquet files — the classic Iceberg
+small-file problem. ``compact`` rewrites the current read set into one
+``base=NNNN`` dir and swaps the manifest pointer; reads union the base
+with wave dirs committed after it. The rewrite is crash-safe the same
+way commits are: the base dir is staged first, the atomic manifest
+swap makes it visible, and superseded dirs are deleted only after the
+swap (a crash between swap and delete leaves unreferenced garbage,
+never a wrong read).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from typing import Literal
 
@@ -95,15 +109,32 @@ class SnapshotStore:
         m = self.read_manifest()
         return sorted(m["committed_waves"]) if m else []
 
+    def _read_dirs(self, table: str, mode: str) -> list[str]:
+        """The committed read set for a table: compacted base (if the
+        manifest names one) + wave dirs committed after it."""
+        waves = self.committed_waves()
+        dirs: list[str] = []
+        if mode == "append":
+            comp = (self.read_manifest() or {}).get("compacted", {}).get(table)
+            if comp:
+                base = os.path.join(self.root, table, comp["dir"])
+                if os.path.exists(base):
+                    dirs.append(base)
+                waves = [w for w in waves if w > comp["upto"]]
+        dirs += [
+            d
+            for w in waves
+            if os.path.exists(d := self._wave_dir(table, w))
+        ]
+        return dirs
+
     def read_table(
         self,
         table: str,
         mode: Literal["append", "latest"],
         schema=None,
     ) -> DataFrame | None:
-        waves = self.committed_waves()
-        dirs = [self._wave_dir(table, w) for w in waves]
-        dirs = [d for d in dirs if os.path.exists(d)]
+        dirs = self._read_dirs(table, mode)
         if not dirs:
             return (
                 self.spark.createDataFrame([], schema=schema) if schema is not None else None
@@ -111,6 +142,37 @@ class SnapshotStore:
         if mode == "latest":
             dirs = dirs[-1:]
         return self.spark.read.parquet(*dirs)
+
+    # -- compaction ---------------------------------------------------------
+    def compact(self, table: str, target_partitions: int | None = None) -> int:
+        """Rewrite ``table``'s read set into one base dir (Iceberg
+        ``rewrite_data_files`` analog). Returns the number of dirs
+        folded (0 = nothing to do). ``target_partitions`` coalesces the
+        rewrite to that many files — size it so files land near the
+        128 MB parquet sweet spot at the target scale; ``None`` keeps
+        the source partitioning."""
+        if table not in APPEND_TABLES:
+            raise ValueError(f"compact only applies to append tables: {table}")
+        old_dirs = self._read_dirs(table, "append")
+        if len(old_dirs) <= 1:
+            return 0
+        waves = self.committed_waves()
+        upto = waves[-1]
+        df = self.spark.read.parquet(*old_dirs)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        base_name = f"base={upto:04d}"
+        base_dir = os.path.join(self.root, table, base_name)
+        df.write.mode("overwrite").parquet(base_dir)  # staged, not visible
+        manifest = self.read_manifest() or {"committed_waves": [], "extra": {}}
+        manifest.setdefault("compacted", {})[table] = {
+            "dir": base_name,
+            "upto": upto,
+        }
+        self._write_manifest(manifest)  # atomic: base becomes the read set
+        for d in old_dirs:  # superseded only after the pointer swap
+            shutil.rmtree(d, ignore_errors=True)
+        return len(old_dirs)
 
     def extra(self) -> dict:
         m = self.read_manifest()

@@ -346,3 +346,63 @@ def test_crawl_oracle_fixture_is_fresh():
         zip(t["doc_id"], t["kind"], t["text"], t["media_ref"], t["offset"])
     )
     assert committed == expected
+
+
+def test_snapshot_compaction_preserves_reads(spark, tmp_path):
+    """store.compact() (the Iceberg rewrite_data_files analog): the
+    read set collapses to one base dir, rows are identical, later wave
+    writes stay visible, and a second compact folds base + new waves."""
+    import os
+
+    from pyspark.sql import Row
+
+    store = SnapshotStore(spark, str(tmp_path / "c"))
+    rows = lambda lo, hi: spark.createDataFrame(
+        [Row(fingerprint=f"fp{i}", url=f"u{i}") for i in range(lo, hi)]
+    )
+    for w, (lo, hi) in enumerate([(0, 5), (5, 9), (9, 12)]):
+        store.write_wave("url_seen", w, rows(lo, hi))
+        store.commit_wave(w)
+    before = {r["fingerprint"] for r in store.read_table("url_seen", "append").collect()}
+    assert store.compact("url_seen", target_partitions=2) == 3
+    after = {r["fingerprint"] for r in store.read_table("url_seen", "append").collect()}
+    assert after == before == {f"fp{i}" for i in range(12)}
+    # read set is now exactly the base dir; superseded dirs deleted
+    assert store._read_dirs("url_seen", "append") == [
+        os.path.join(store.root, "url_seen", "base=0002")
+    ]
+    assert store.compact("url_seen") == 0  # idempotent no-op
+    # appends after compaction stay visible and re-fold on next compact
+    store.write_wave("url_seen", 3, rows(12, 14))
+    store.commit_wave(3)
+    assert store.read_table("url_seen", "append").count() == 14
+    assert store.compact("url_seen") == 2  # base + wave 3
+    assert store.read_table("url_seen", "append").count() == 14
+    # a stray staged base dir with no manifest entry is invisible
+    store2 = SnapshotStore(spark, str(tmp_path / "d"))
+    store2.write_wave("url_seen", 0, rows(0, 3))
+    store2.commit_wave(0)
+    rows(0, 99).write.mode("overwrite").parquet(
+        os.path.join(store2.root, "url_seen", "base=0099")
+    )
+    assert store2.read_table("url_seen", "append").count() == 3
+
+
+def test_crawl_with_compaction_equals_without(spark, tmp_path):
+    """CrawlConfig(compact_every=2): same crawl results and URL-seen
+    set as the uncompacted run — compaction is invisible to semantics,
+    it only collapses the snapshot read set (small-file problem)."""
+    spec = WebSpec(seed=13, n_hosts=4, pages_per_host=2, details_per_page=3)
+    _e1, t1, s1 = run_engine(spark, tmp_path / "plain", spec)
+    _e2, t2, s2 = run_engine(
+        spark, tmp_path / "compacted", spec, compact_every=2, compact_partitions=4
+    )
+    assert t1 == t2
+    seen1 = {r["fingerprint"] for r in s1.read_table("url_seen", "append").collect()}
+    seen2 = {r["fingerprint"] for r in s2.read_table("url_seen", "append").collect()}
+    assert seen1 == seen2
+    d1 = {r["doc_id"] for r in s1.read_table("documents", "append").collect()}
+    d2 = {r["doc_id"] for r in s2.read_table("documents", "append").collect()}
+    assert d1 == d2
+    # the compacted store really did fold its url_seen read set
+    assert any("base=" in d for d in s2._read_dirs("url_seen", "append"))
