@@ -716,17 +716,52 @@ def q_image_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + language ID + quality scoring in one projection
-    (round-3 fold of the former token_stats / lang_id / quality_score
-    queries — same operators, one registry row)."""
+    """Token counting + language ID + quality scoring + Gopher-style
+    repetition signals in one projection (round-3 fold of the former
+    token_stats / lang_id / quality_score queries, extended with the
+    Rae et al. 2021 Appendix-A repetition filters — functions/text.py).
+    The synthetic corpus has no newlines, so a lined view is derived
+    deterministically (every ' table ' becomes a bullet line break;
+    doc_id%4==0 docs gain a trailing ellipsis) to exercise the
+    line-based signals; tokens/lines/grams are STAGED projections (HOF
+    lambda recompute pitfall)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    lined0 = F.replace(F.col("text"), F.lit(" table "), F.lit("\n- "))
+    lined = F.when(F.col("doc_id") % 4 == 0, F.concat(lined0, F.lit("..."))).otherwise(
+        lined0
+    )
+    staged = docs.select("doc_id", "text", lined.alias("lined")).select(
+        "doc_id",
+        "text",
+        "lined",
+        TX.tokens(F.col("text")).alias("toks"),
+        TX.doc_lines(F.col("lined")).alias("lines"),
+    )
+    staged = staged.select(
+        "*", TX.word_shingles_from(F.col("toks"), 2).alias("grams2")
+    )
+    mean_wl = TX.mean_word_length_from(F.col("toks"))
+    sym_ratio = TX.symbol_word_ratio(F.col("lined"), F.col("toks"))
+    dupline = TX.dup_line_fraction_from(F.col("lines"))
+    bullet = TX.bullet_line_fraction_from(F.col("lines"))
+    ellipsis = TX.ellipsis_line_fraction_from(F.col("lines"))
+    top2 = TX.top_ngram_fraction_from(F.col("toks"), F.col("grams2"), 2)
+    return staged.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("n_tokens"),
         TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
         TX.punct_count(F.col("text")).alias("n_punct"),
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score(F.col("text")).alias("quality"),
+        mean_wl.alias("mean_wl"),
+        sym_ratio.alias("sym_ratio"),
+        dupline.alias("dupline_frac"),
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        top2.alias("top2_frac"),
+        TX.gopher_pass(
+            F.size(F.col("toks")), mean_wl, sym_ratio, dupline, bullet, ellipsis, top2
+        ).alias("gopher_pass"),
     )
 
 
@@ -1878,19 +1913,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_metrics": f"""
-            WITH h AS (
-                SELECT doc_id, text, {_hits('en')} AS en, {_hits('de')} AS de,
-                       {_hits('fr')} AS fr, {_hits('it')} AS it, {_hits('nl')} AS nl
+            WITH ln AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN replace(text, ' table ', chr(10) || '- ') || '...'
+                            ELSE replace(text, ' table ', chr(10) || '- ')
+                       END AS lined
                 FROM documents),
+            h AS (
+                SELECT doc_id, text, lined,
+                       {_hits('en')} AS en, {_hits('de')} AS de,
+                       {_hits('fr')} AS fr, {_hits('it')} AS it, {_hits('nl')} AS nl
+                FROM ln),
             s AS (
-                SELECT doc_id, en, de, fr, it, nl,
+                SELECT doc_id, lined, en, de, fr, it, nl,
+                       {_TOKENS_SQL} AS toks,
+                       list_filter(list_transform(string_split(lined, chr(10)),
+                            x -> trim(x)), x -> x != '') AS lines,
                        CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
                        CAST(len(regexp_extract_all(lower(text),
                             '([a-z]{{1,4}}|[0-9]|[^a-z0-9\\s])', 1)) AS INT) AS n_bpe,
                        CAST(len(regexp_extract_all(text, '([^\\w\\s])', 1)) AS INT)
                            AS n_punct,
                        CAST(length(text) AS DOUBLE) AS n_char
-                FROM h)
+                FROM h),
+            g AS (
+                SELECT *, {_SHINGLES_SQL.format(nm1=1)} AS grams2 FROM s)
             SELECT doc_id, n_tokens, n_bpe, n_punct,
                    CASE WHEN greatest(en,de,fr,it,nl) <= 0 THEN 'und'
                         WHEN en = greatest(en,de,fr,it,nl) THEN 'en'
@@ -1902,8 +1950,34 @@ def oracle_sql() -> dict[str, str]:
                        + 0.4 * least(1.0, 8.0 * (CASE WHEN n_tokens > 0
                              THEN CAST(en AS DOUBLE) / n_tokens ELSE 0.0 END))
                        + 0.2 * (1.0 - least(1.0, 4.0 * (CASE WHEN n_char > 0
-                             THEN n_punct / n_char ELSE 0.0 END))), 4) AS quality
-            FROM s
+                             THEN n_punct / n_char ELSE 0.0 END))), 4) AS quality,
+                   round(CASE WHEN len(toks) > 0 THEN
+                         CAST(list_sum(list_transform(toks, t -> length(t)))
+                              AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS mean_wl,
+                   round(CASE WHEN len(toks) > 0 THEN
+                         CAST(len(regexp_extract_all(lined, '(#|\\.\\.\\.|…)', 1))
+                              AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS sym_ratio,
+                   round(CASE WHEN len(lines) > 0 THEN
+                         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                              / len(lines) ELSE 0.0 END, 4) AS dupline_frac,
+                   round(CASE WHEN len(lines) > 0 THEN
+                         CAST(len(list_filter(lines, l -> l LIKE '- %'
+                              OR l LIKE '* %' OR l LIKE '•%')) AS DOUBLE)
+                              / len(lines) ELSE 0.0 END, 4) AS bullet_frac,
+                   round(CASE WHEN len(lines) > 0 THEN
+                         CAST(len(list_filter(lines, l -> l LIKE '%...'
+                              OR l LIKE '%…')) AS DOUBLE)
+                              / len(lines) ELSE 0.0 END, 4) AS ellipsis_frac,
+                   round(CASE WHEN len(toks) > 0 AND len(grams2) > 0 THEN
+                         2.0 * CAST(list_max(list_transform(list_distinct(grams2),
+                              gg -> len(list_filter(grams2, x -> x = gg))))
+                              AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS top2_frac,
+                   (n_tokens >= 10 AND n_tokens <= 100000
+                    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                    AND sym_ratio <= 0.1 AND dupline_frac <= 0.30
+                    AND bullet_frac <= 0.90 AND ellipsis_frac <= 0.30
+                    AND top2_frac <= 0.20) AS gopher_pass
+            FROM g
         """,
         "exact_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

@@ -144,3 +144,121 @@ def minhash_signature(text: Column, n_hashes: int, shingle_n: int = 3) -> list[C
         hashed = F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
         out.append(F.array_min(hashed).alias(f"mh{j}"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition & quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A — public filter recipe).
+# All pure JVM HOF expressions: no Python in the hot path, so the
+# filters run inside whole-stage codegen over 100 TB of documents.
+# The *_from variants take ALREADY-MATERIALIZED array columns — HOF
+# lambdas re-evaluate argument subtrees per element, so callers must
+# stage tokens/lines/grams as real projection columns first (see
+# word_shingles_from above for the same contract).
+# ---------------------------------------------------------------------------
+
+
+def doc_lines(text: Column) -> Column:
+    """Trimmed, non-empty lines of the document."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def dup_line_fraction_from(lines: Column) -> Column:
+    """Fraction of lines that repeat an earlier line (Gopher: drop docs
+    with duplicate-line fraction > 0.30)."""
+    n = F.size(lines).cast("double")
+    return F.round(
+        F.when(n > 0, (n - F.size(F.array_distinct(lines))) / n).otherwise(0.0), 4
+    )
+
+
+def bullet_line_fraction_from(lines: Column) -> Column:
+    """Fraction of lines starting with a bullet mark (Gopher: >90%
+    bullet lines = drop)."""
+    n = F.size(lines).cast("double")
+    bullets = F.filter(
+        lines,
+        lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("•"),
+    )
+    return F.round(F.when(n > 0, F.size(bullets) / n).otherwise(0.0), 4)
+
+
+def ellipsis_line_fraction_from(lines: Column) -> Column:
+    """Fraction of lines ending with an ellipsis (Gopher: >30% = drop)."""
+    n = F.size(lines).cast("double")
+    ell = F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    return F.round(F.when(n > 0, F.size(ell) / n).otherwise(0.0), 4)
+
+
+def mean_word_length_from(toks: Column) -> Column:
+    """Mean token length in characters (Gopher keeps 3..10)."""
+    n = F.size(toks).cast("double")
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    return F.round(F.when(n > 0, total / n).otherwise(0.0), 4)
+
+
+def symbol_word_ratio(text: Column, toks: Column) -> Column:
+    """(# + ellipsis occurrences) / word count (Gopher: > 0.1 = drop)."""
+    n = F.size(toks).cast("double")
+    syms = F.size(
+        F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), 1)
+    ).cast("double")
+    return F.round(F.when(n > 0, syms / n).otherwise(0.0), 4)
+
+
+def top_ngram_fraction_from(toks: Column, grams: Column, n: int) -> Column:
+    """Token fraction covered by the single most frequent n-gram.
+
+    Documented divergence from Gopher's character fraction: we count
+    ``n * max_count / n_tokens`` (token fraction) — same signal, no
+    per-character bookkeeping. ``grams`` must be a materialized column
+    of n-grams over ``toks`` (word_shingles_from(toks, n)); the
+    count-per-distinct-gram transform references ``grams`` once per
+    distinct gram, which is why it must not be an unmaterialized
+    expression."""
+    ntok = F.size(toks).cast("double")
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    maxc = F.array_max(counts).cast("double")
+    return F.round(
+        F.when((ntok > 0) & (F.size(grams) > 0), F.lit(float(n)) * maxc / ntok)
+        .otherwise(0.0),
+        4,
+    )
+
+
+def gopher_pass(
+    n_tokens: Column,
+    mean_wl: Column,
+    sym_ratio: Column,
+    dup_line: Column,
+    bullet_frac: Column,
+    ellipsis_frac: Column,
+    top2_frac: Column,
+) -> Column:
+    """The Gopher keep-decision over the (already-rounded) signals.
+
+    Thresholds from Rae et al. 2021 Appendix A (word count bounds
+    relaxed to this corpus's 10..100k): 3 <= mean word length <= 10,
+    symbol-to-word <= 0.1, duplicate-line <= 0.30, bullet lines <= 0.90,
+    ellipsis lines <= 0.30, top-2-gram fraction <= 0.20. Decisions are
+    made on ROUNDED signals so float ULP noise can't flip a row between
+    engines (DuckDB oracle parity)."""
+    return (
+        (n_tokens >= 10)
+        & (n_tokens <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_ratio <= 0.1)
+        & (dup_line <= 0.30)
+        & (bullet_frac <= 0.90)
+        & (ellipsis_frac <= 0.30)
+        & (top2_frac <= 0.20)
+    )

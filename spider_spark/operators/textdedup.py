@@ -407,3 +407,67 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def line_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level repeated-line removal (the C4 / CCNet "discard any
+    line seen before" pass — public recipe: Raffel et al. 2020 §2.2
+    keeps one occurrence of each three-sentence span; CCNet dedups
+    paragraph hashes across shards).
+
+    A line survives only at its FIRST corpus occurrence — earliest
+    (doc_id, position), lexicographic doc order for determinism.
+    Returns (doc_id, text_deduped, n_lines, n_dropped); documents whose
+    every line was seen before come back with empty text (the caller
+    filters).
+
+    Scale shape: posexplode -> ONE shuffle on the 16-byte line digest
+    (never the line text) with a map-side-combinable min_by -> one
+    equi-join back on the digest. No window over the whole corpus, no
+    driver state; skew on boilerplate lines ("all rights reserved")
+    caps at one group per distinct digest, and AQE splits oversized
+    groups.
+    """
+    lines = documents.select(
+        F.col(id_col),
+        F.posexplode(TX.doc_lines(F.col(text_col))).alias("pos", "line"),
+    ).select(
+        id_col, "pos", "line", F.md5(F.lower(F.col("line"))).alias("line_fp")
+    )
+    first = lines.groupBy("line_fp").agg(
+        F.min(F.struct(id_col, "pos")).alias("first_at")
+    )
+    kept = (
+        lines.join(first, "line_fp")
+        .where(
+            (F.col(id_col) == F.col("first_at." + id_col))
+            & (F.col("pos") == F.col("first_at.pos"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_deduped"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = documents.select(
+        F.col(id_col), F.size(TX.doc_lines(F.col(text_col))).alias("n_lines")
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )

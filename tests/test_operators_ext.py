@@ -1093,3 +1093,92 @@ def test_proxy_routing(spark):
         for r in with_proxy(disp, dim).collect()
     }
     assert again == rows
+
+
+def test_gopher_repetition_signals(spark):
+    """Gopher (Rae et al. 2021, App. A) repetition/quality signals in
+    functions/text.py — hand-computed vectors on crafted docs."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            ("rep", "aaa bbb aaa bbb aaa bbb ccc", ""),
+            ("lin", "x", "- item one\n- item two\n- item one\nplain...\n…"),
+            ("sym", "ok # fine ... done …", ""),
+            (
+                "ok",
+                "the quick brown fox jumps over the lazy dog again today",
+                "line one\nline two",
+            ),
+        ],
+        "doc_id string, text string, lined string",
+    )
+    staged = df.select(
+        "doc_id",
+        "text",
+        "lined",
+        TX.tokens(F.col("text")).alias("toks"),
+        TX.doc_lines(F.col("lined")).alias("lines"),
+    ).select("*", TX.word_shingles_from(F.col("toks"), 2).alias("grams2"))
+    mean_wl = TX.mean_word_length_from(F.col("toks"))
+    sym = TX.symbol_word_ratio(F.col("text"), F.col("toks"))
+    dup = TX.dup_line_fraction_from(F.col("lines"))
+    bullet = TX.bullet_line_fraction_from(F.col("lines"))
+    ell = TX.ellipsis_line_fraction_from(F.col("lines"))
+    top2 = TX.top_ngram_fraction_from(F.col("toks"), F.col("grams2"), 2)
+    out = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id",
+            mean_wl.alias("mwl"),
+            sym.alias("sym"),
+            dup.alias("dup"),
+            bullet.alias("bullet"),
+            ell.alias("ell"),
+            top2.alias("top2"),
+            TX.gopher_pass(
+                F.size(F.col("toks")), mean_wl, sym, dup, bullet, ell, top2
+            ).alias("keep"),
+        ).collect()
+    }
+    # 7 tokens, 'aaa bbb' appears 3x in 6 bigrams -> 2*3/7
+    assert out["rep"]["top2"] == round(6 / 7, 4)
+    assert out["rep"]["mwl"] == 3.0
+    assert out["rep"]["keep"] is False  # too few tokens AND repetitive
+    # 5 lines: one duplicate, 3 bullets, 2 ellipsis-terminated
+    assert out["lin"]["dup"] == 0.2
+    assert out["lin"]["bullet"] == 0.6
+    assert out["lin"]["ell"] == 0.4
+    # '#', '...', '…' = 3 symbols over 3 alnum tokens
+    assert out["sym"]["sym"] == 1.0
+    # clean 11-token doc passes every Gopher gate
+    assert out["ok"]["keep"] is True
+    assert out["ok"]["dup"] == 0.0 and out["ok"]["bullet"] == 0.0
+
+
+def test_line_dedup_corpus_first_occurrence(spark):
+    """C4/CCNet-style corpus line dedup: a line survives only at its
+    earliest (doc_id, pos); comparison is case-insensitive on the md5
+    key but the surviving text keeps its original form."""
+    from spider_spark.operators.textdedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha\nbeta\nalpha"),
+            ("d2", "beta\ndelta\nalpha"),
+            ("d3", "ALPHA"),
+            ("d4", "epsilon"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out["d1"]["text_deduped"] == "alpha\nbeta"  # in-doc repeat dropped
+    assert (out["d1"]["n_lines"], out["d1"]["n_dropped"]) == (3, 1)
+    assert out["d2"]["text_deduped"] == "delta"
+    assert out["d2"]["n_dropped"] == 2
+    assert out["d3"]["text_deduped"] == ""  # case-insensitive duplicate
+    assert out["d3"]["n_dropped"] == 1
+    assert out["d4"]["text_deduped"] == "epsilon"
+    assert out["d4"]["n_dropped"] == 0
