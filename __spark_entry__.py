@@ -37,6 +37,7 @@ from spider_spark.functions import text as TX
 from spider_spark.functions.urls import canonicalize_udf
 from spider_spark.operators import ann as ANN
 from spider_spark.operators import dedup as D
+from spider_spark.operators import mixing as MX
 from spider_spark.operators import politeness as P
 from spider_spark.operators import textdedup as TD
 
@@ -97,6 +98,12 @@ _FRONTIER_SQL = """
 """
 
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+# PII regexes mirrored from spider_spark.functions.text (Java ∩ RE2
+# common subset, so the literal passes to DuckDB unchanged)
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE_SQL = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{2,4}"
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +315,10 @@ def q_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract_number_only with '.' thousands / ',' scale separators over
     'about <k>.<lpad3> m2' strings (helper.py:88-102 semantics); folded
     in (round 3): get_price — min of both separator readings, max if
-    min<10 (helper.py:47-61)."""
+    min<10 (helper.py:47-61) — and sq_feet_to_meters int(feet/10.764)
+    + weekly→monthly rent*4 (helper.py:36-44,649-651), both driven off
+    the same lineitem keys so all four §2.4 scalars share one
+    driver-checked registry slot."""
     li = _t(spark, sf_dir, "lineitem")
     s = F.concat(
         F.lit("about "),
@@ -327,6 +337,12 @@ def q_extract_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("lnum"),
         N.extract_number_only(s, ".", ",").try_cast("double").alias("num"),
         N.get_price(ps).cast("long").alias("price"),
+        N.sq_feet_to_meters((F.col("l_orderkey") % 5000).cast("double"))
+        .cast("long")
+        .alias("sqm"),
+        N.weekly_to_monthly_rent(F.col("l_orderkey") % 700)
+        .cast("long")
+        .alias("rent_pm"),
     ).distinct()
 
 
@@ -596,17 +612,6 @@ def q_xpath_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sq_feet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sq_feet_to_meters int(feet/10.764) + weekly→monthly rent*4
-    (helper.py:36-44,649-651)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_orderkey").alias("okey"),
-        N.sq_feet_to_meters((F.col("l_orderkey") % 5000).cast("double")).alias("sqm"),
-        N.weekly_to_monthly_rent(F.col("l_orderkey") % 700).cast("long").alias("rent_pm"),
-    ).distinct()
-
-
 def q_rent_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rent_sanity_filter keep 0<rent<=40000 (intended semantics of
     templates/spiders/basic.tmpl:46-47 — documented divergence)."""
@@ -628,6 +633,12 @@ def q_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
     )
     flags = N.amenity_flags(extra)
+    # folded: description_clean (strip_tags + remove_white_spaces,
+    # helper.py:25-34,73-78) rides along as one more column so both
+    # operators fit one driver-checked registry slot
+    html = F.concat(
+        F.lit("<div class='x'><b>"), F.col("text"), F.lit("</b>  <br/> tail</div>")
+    )
     return docs.select(
         "doc_id",
         flags["parking"].alias("parking"),
@@ -635,6 +646,7 @@ def q_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags["swimming_pool"].alias("swimming_pool"),
         flags["elevator"].alias("elevator"),
         flags["terrace"].alias("terrace"),
+        N.remove_white_spaces(N.strip_tags(html)).alias("clean"),
     )
 
 
@@ -650,18 +662,6 @@ def q_property_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("eid"),
         lab.alias("label"),
         N.property_type_lookup(lab).alias("ptype"),
-    )
-
-
-def q_description_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """strip_tags + remove_white_spaces over HTML-wrapped text
-    (helper.py:25-34,73-78)."""
-    docs = _t(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit("<div class='x'><b>"), F.col("text"), F.lit("</b>  <br/> tail</div>")
-    )
-    return docs.select(
-        "doc_id", N.remove_white_spaces(N.strip_tags(html)).alias("clean")
     )
 
 
@@ -688,26 +688,45 @@ def q_take_first_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_position_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """position counter per source run (der_immo_tip.py:23,137,187)."""
+    """position counter per source run (der_immo_tip.py:23,137,187);
+    folded in (round 3, registry budget): image dedup +
+    external_images_count (pipelines.py:127-131) — refs with repeats
+    (doc_id, i%4 for i<n) → distinct count, one more per-doc column."""
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
-    return docs.select(
-        "doc_id", "source", F.row_number().over(w).alias("position")
-    )
-
-
-def q_image_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """image dedup + external_images_count (pipelines.py:127-131): refs
-    with repeats (doc_id, i%4 for i<n) → distinct count."""
-    docs = _t(spark, sf_dir, "documents")
     n = (F.col("doc_id") % 7 + 1).cast("int")
     refs = F.transform(
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat(F.lit("img/"), (i % 4).cast("string")),
     )
     return docs.select(
-        "doc_id", F.size(F.array_distinct(refs)).alias("external_images_count")
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("position"),
+        F.size(F.array_distinct(refs)).alias("external_images_count"),
     )
+
+
+def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + token-budget shard packing
+    (operators/mixing): per-source mixing rates derived from the source
+    numeral ((n%4+1)*0.25 — all exactly representable doubles, so the
+    hash-gate comparison is bit-identical in DuckDB), kept docs packed
+    into 2000-token shards in doc_id order via the distributed
+    exclusive prefix sum (bucket windows + broadcast offsets)."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = docs.select("source").distinct().select(
+        "source",
+        (
+            ((F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 4) + 1)
+            * F.lit(0.25)
+        ).alias("rate"),
+    )
+    staged = docs.select(
+        "doc_id", "source", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    kept = MX.deterministic_sample(staged, rates, stratum_col="source", key_col="doc_id")
+    return MX.pack_shards(kept, "n_tokens", budget=2000, order_col="doc_id", n_buckets=16)
 
 
 # ---------------------------------------------------------------------------
@@ -765,6 +784,51 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C 13-gram recipe,
+    operators/textdedup.decontaminate): the "benchmark" is the
+    deterministic doc_id % 97 == 0 slice of the corpus itself, so every
+    benchmark member (and its exact dups) must flag contaminated.
+    Shortened to 7-grams so the sf0.01 texts are long enough to overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return TD.decontaminate(docs, bench, n=7)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (C4-style; functions/text.py PII_*): deterministic
+    synthetic PII appended per doc (emails on %2, phones on %3, IPv4 on
+    %5), then counted and redacted to typed tags."""
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" mail user"), (F.col("doc_id") % 50).cast("string"),
+                     F.lit("@mail.example")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" call +49 30 "),
+                     (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                     F.lit(" 123")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit("."), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", pii_text.alias("t"))
+    return staged.select(
+        "doc_id",
+        TX.pii_email_count(F.col("t")).alias("n_emails"),
+        TX.pii_phone_count(F.col("t")).alias("n_phones"),
+        TX.pii_ipv4_count(F.col("t")).alias("n_ips"),
+        TX.redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TD.exact_dedup(docs)
@@ -778,6 +842,16 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH pairs -> connected components (alternating large-star /
+    small-star, Kiveris et al. SoCC'14) -> one kept representative per
+    duplicate cluster (operators/textdedup.dedup_clusters). The oracle
+    recomputes the same pairs and resolves the transitive closure with a
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return TD.dedup_clusters(docs, n_hashes=8, bands=4, shingle_n=5)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,20 +1082,21 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented deterministic stand-in (sha256-derived dimensions) —
     the oracle recomputes the same bytes in SQL, so the whole Arrow
     path (schema, batching, repartition) is value-checked."""
-    from spider_spark.operators.media import decode_media
-
-    return decode_media(_media_table(spark, sf_dir)).select(
-        "media_ref", "media_type", "width", "height", "n_frames", "ok"
-    )
-
-
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample plan (operators/media.py:sample_frames): one row per
-    kept frame index, every 24th frame of each decoded video."""
     from spider_spark.operators.media import decode_media, sample_frames
 
     decoded = decode_media(_media_table(spark, sf_dir))
-    return sample_frames(decoded, every_n=24)
+    # folded: media_frames (sample_frames, every 24th frame of each
+    # video) rides along as per-ref aggregate columns so both operators
+    # fit one driver-checked registry slot; images get 0/NULL.
+    frames = sample_frames(decoded, every_n=24).groupBy("media_ref").agg(
+        F.count("*").alias("n_sampled_frames"),
+        F.max("frame_idx").alias("last_frame_idx"),
+    )
+    return decoded.join(frames, "media_ref", "left").select(
+        "media_ref", "media_type", "width", "height", "n_frames", "ok",
+        F.coalesce(F.col("n_sampled_frames"), F.lit(0)).cast("long").alias("n_sampled_frames"),
+        F.col("last_frame_idx").cast("int").alias("last_frame_idx"),
+    )
 
 
 _MEDIA_DECODE_SQL = """
@@ -1354,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich": q_enrich,
         "xpath_select": q_xpath_select,
         "text_metrics": q_text_metrics,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
@@ -1369,17 +1446,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_multilocale": q_date_multilocale,
         "rent_currency": q_rent_currency,
         "utilities": q_utilities,
-        "sq_feet": q_sq_feet,
         "rent_sanity": q_rent_sanity,
         "amenities": q_amenities,
         "property_type": q_property_type,
-        "description_clean": q_description_clean,
         "take_first_join": q_take_first_join,
         "position_counter": q_position_counter,
-        "image_dedup_count": q_image_dedup_count,
+        "data_mix": q_data_mix,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow": q_winnow,
         "simhash": q_simhash,
@@ -1392,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_refs": q_media_refs,
         "js_literals": q_js_literals,
         "media_decode": q_media_decode,
-        "media_frames": q_media_frames,
         "sitemap_locs": q_sitemap_locs,
         "json_source": q_json_source,
         "itemclear": q_itemclear,
@@ -1586,6 +1661,13 @@ _CURRENCY_CASE_SQL = """
 def oracle_sql() -> dict[str, str]:
     shingles3 = _SHINGLES_SQL.format(nm1=2)
     shingles5 = _SHINGLES_SQL.format(nm1=4)
+    # first-8-hex-chars-of-md5 -> uint32 (mixing.hash_fraction twin):
+    # per-char strpos arithmetic, exact in doubles (< 2^53)
+    md5_u32 = " + ".join(
+        f"(strpos('0123456789abcdef', substring(hh, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
     mh = lambda j: f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"  # noqa: E731
     band = lambda b, r: (  # noqa: E731
         "md5(" + " || '|' || ".join(f"mh{b * r + i}" for i in range(r)) + ")"
@@ -1748,7 +1830,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM t)
             SELECT DISTINCT okey, lnum, num,
                    CASE WHEN least(a, b) < 10 THEN greatest(a, b)
-                        ELSE least(a, b) END AS price
+                        ELSE least(a, b) END AS price,
+                   CAST(floor(CAST(okey % 5000 AS BIGINT)
+                        / CAST(10.764 AS DOUBLE)) AS BIGINT) AS sqm,
+                   CAST((okey % 700) * 4 AS BIGINT) AS rent_pm
             FROM p
         """,
         "energy_label": """
@@ -1832,13 +1917,6 @@ def oracle_sql() -> dict[str, str]:
                                       AS DOUBLE) END AS utilities
             FROM n
         """,
-        "sq_feet": """
-            SELECT DISTINCT l_orderkey AS okey,
-                   CAST(floor(CAST(l_orderkey % 5000 AS BIGINT)
-                        / CAST(10.764 AS DOUBLE)) AS BIGINT) AS sqm,
-                   CAST((l_orderkey % 700) * 4 AS BIGINT) AS rent_pm
-            FROM lineitem
-        """,
         "rent_sanity": """
             SELECT event_id AS eid, (event_id * 7919) % 60000 AS rent
             FROM events
@@ -1847,7 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "amenities": """
             WITH t AS (
-                SELECT doc_id, lower(
+                SELECT doc_id, text, lower(
                     (CASE WHEN doc_id % 2 = 0 THEN ' has Parking garage ' ELSE ' ' END) ||
                     (CASE WHEN doc_id % 3 = 0 THEN ' grosser Balkon ' ELSE ' ' END) ||
                     (CASE WHEN doc_id % 5 = 0 THEN ' swimming pool & lift ' ELSE ' ' END) ||
@@ -1868,7 +1946,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN true ELSE NULL END AS elevator,
                    CASE WHEN contains(low,'terrace') OR contains(low,'terrazz')
                          OR contains(low,'terras') OR contains(low,'terrass')
-                        THEN true ELSE NULL END AS terrace
+                        THEN true ELSE NULL END AS terrace,
+                   trim(regexp_replace(regexp_replace(
+                        '<div class=''x''><b>' || text || '</b>  <br/> tail</div>',
+                        '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS clean
             FROM t
         """,
         "property_type": """
@@ -1885,13 +1966,6 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'ev' THEN 'house' ELSE NULL END AS ptype
             FROM t
         """,
-        "description_clean": """
-            SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(
-                        '<div class=''x''><b>' || text || '</b>  <br/> tail</div>',
-                        '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')) AS clean
-            FROM documents
-        """,
         "take_first_join": """
             SELECT source,
                    min_by(text, doc_id) AS first_text,
@@ -1902,15 +1976,33 @@ def oracle_sql() -> dict[str, str]:
         "position_counter": """
             SELECT doc_id, source,
                    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
-                        AS INT) AS position
-            FROM documents
-        """,
-        "image_dedup_count": """
-            SELECT doc_id,
+                        AS INT) AS position,
                    CAST(len(list_distinct(list_transform(
                         range(0, CAST(doc_id % 7 + 1 AS INT)),
                         i -> 'img/' || (i % 4)))) AS INT) AS external_images_count
             FROM documents
+        """,
+        "data_mix": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       len({_TOKENS_SQL}) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS hh
+                FROM documents),
+            f AS (
+                SELECT doc_id, source, n_tokens,
+                       ({md5_u32}) / 4294967296.0 AS frac,
+                       ((CAST(substring(source, 4) AS INT) % 4) + 1) * 0.25
+                           AS rate
+                FROM t),
+            k AS (SELECT doc_id, source, n_tokens FROM f WHERE frac < rate),
+            c AS (
+                SELECT *, sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                           AS cum_before
+                FROM k)
+            SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(cum_before AS BIGINT) AS cum_before,
+                   CAST(floor(cum_before / 2000) AS BIGINT) AS shard_id
+            FROM c
         """,
         "text_metrics": f"""
             WITH ln AS (
@@ -1986,6 +2078,48 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
         """,
+        "decontaminate": f"""
+            WITH bt AS (SELECT {_TOKENS_SQL} AS toks FROM documents
+                        WHERE doc_id % 97 = 0),
+            bg AS (SELECT DISTINCT unnest({_SHINGLES_SQL.format(nm1=6)}) AS g
+                   FROM bt),
+            dt AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            dg AS (SELECT doc_id,
+                          unnest({_SHINGLES_SQL.format(nm1=6)}) AS g
+                   FROM dt),
+            hits AS (SELECT doc_id, count(*) AS n
+                     FROM dg JOIN bg USING (g) GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(hits.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        """,
+        "pii_redact": f"""
+            WITH t AS (
+                SELECT doc_id, text ||
+                    (CASE WHEN doc_id % 2 = 0 THEN ' mail user' ||
+                         CAST(doc_id % 50 AS VARCHAR) || '@mail.example'
+                         ELSE '' END) ||
+                    (CASE WHEN doc_id % 3 = 0 THEN ' call +49 30 ' ||
+                         CAST(1000 + doc_id % 9000 AS VARCHAR) || ' 123'
+                         ELSE '' END) ||
+                    (CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' ||
+                         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                         CAST(doc_id % 100 AS VARCHAR)
+                         ELSE '' END) AS t
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{_PII_PHONE_SQL}')) AS INT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(t, '{_PII_IPV4_SQL}')) AS INT)
+                       AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                        '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+                        '{_PII_IPV4_SQL}', '<IP>', 'g') AS redacted
+            FROM t
+        """,
         "minhash_signature": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
             s AS (SELECT doc_id, {shingles3} AS sh FROM t)
@@ -2010,6 +2144,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+            s AS (SELECT doc_id, {shingles5} AS sh FROM t WHERE len(toks) >= 5),
+            sigs AS (
+                SELECT doc_id, {mh(0)} AS mh0, {mh(1)} AS mh1, {mh(2)} AS mh2,
+                       {mh(3)} AS mh3, {mh(4)} AS mh4, {mh(5)} AS mh5,
+                       {mh(6)} AS mh6, {mh(7)} AS mh7
+                FROM s),
+            banded AS (
+                SELECT doc_id, b.band, b.bh FROM sigs,
+                LATERAL (
+                    SELECT unnest([0,1,2,3]) AS band,
+                           unnest([{band(0, 2)}, {band(1, 2)},
+                                   {band(2, 2)}, {band(3, 2)}]) AS bh) b),
+            prs AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+            e AS (SELECT id_a AS u, id_b AS v FROM prs
+                  UNION SELECT id_b AS u, id_a AS v FROM prs),
+            reach(v, l) AS (
+                SELECT doc_id AS v, doc_id AS l FROM documents
+                UNION
+                SELECT e.v, r.l FROM e JOIN reach r ON e.u = r.v)
+            SELECT v AS doc_id, min(l) AS cluster_id,
+                   min(l) = v AS is_kept
+            FROM reach GROUP BY v
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
@@ -2258,13 +2421,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e, LATERAL (SELECT unnest(ks) AS k, unnest(vs) AS v,
                                     generate_subscripts(ks, 1) AS o) u
         """,
-        "media_decode": _MEDIA_DECODE_SQL,
-        "media_frames": f"""
-            WITH d AS ({_MEDIA_DECODE_SQL})
-            SELECT media_ref, CAST(u.f AS INT) AS frame_idx
-            FROM d, LATERAL (SELECT unnest(generate_series(0,
-                 greatest(n_frames - 1, 0), 24)) AS f) u
-            WHERE media_type = 'video' AND ok
+        "media_decode": f"""
+            WITH d AS ({_MEDIA_DECODE_SQL}),
+            fr AS (
+                SELECT media_ref, CAST(u.f AS INT) AS frame_idx
+                FROM d, LATERAL (SELECT unnest(generate_series(0,
+                     greatest(n_frames - 1, 0), 24)) AS f) u
+                WHERE media_type = 'video' AND ok),
+            agg AS (
+                SELECT media_ref, count(*) AS n_sampled_frames,
+                       max(frame_idx) AS last_frame_idx
+                FROM fr GROUP BY media_ref)
+            SELECT d.media_ref, d.media_type, d.width, d.height,
+                   d.n_frames, d.ok,
+                   coalesce(agg.n_sampled_frames, 0) AS n_sampled_frames,
+                   CAST(agg.last_frame_idx AS INT) AS last_frame_idx
+            FROM d LEFT JOIN agg USING (media_ref)
         """,
         "sitemap_locs": """
             WITH x AS (

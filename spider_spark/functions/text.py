@@ -262,3 +262,41 @@ def gopher_pass(
         & (ellipsis_frac <= 0.30)
         & (top2_frac <= 0.20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the C4-style scrub pass a training-data
+# pipeline runs before publishing a corpus). Patterns are restricted to
+# the Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so
+# the DuckDB oracle matches bit-for-bit; all replacement runs JVM-side
+# regexp_replace inside whole-stage codegen — no Python at 100 TB.
+# The phone pattern requires the international "+CC" prefix so it can
+# never overlap the IPv4 pattern (and keeps false positives on prices /
+# ids near zero, the same precision>recall choice C4 makes).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{2,4}"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+
+
+def pii_ipv4_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0))
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / international phones / IPv4 literals with typed
+    placeholder tags (leftmost non-overlapping, same in Java and RE2).
+    Email runs first (an email never contains a redaction tag), phone
+    before IPv4 is irrelevant by construction (disjoint patterns)."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")

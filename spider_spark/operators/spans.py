@@ -205,6 +205,34 @@ def apply_link_rules(links: DataFrame, rules: DataFrame | None) -> DataFrame:
     return joined.filter(keep).drop("link_allow", "link_deny")
 
 
+def offsite_filter(links: DataFrame, rules: DataFrame | None) -> DataFrame:
+    """OffsiteMiddleware analog: drop child links whose host is not one
+    of the spider's ``allowed_domains`` (1,249 reference spiders set it,
+    e.g. ``allowed_domains = ['2a-immo.fr']``). Scrapy semantics
+    (``scrapy.utils.url.url_is_from_any_domain``): the request host
+    passes when it EQUALS a domain or is a SUBDOMAIN of one
+    (``host.endswith('.' + domain)``), case-insensitive; a
+    ``dont_filter`` request bypasses the check; a spider with no
+    allowed_domains filters nothing.
+
+    Scale shape mirrors :func:`apply_link_rules`: the per-site dim is
+    broadcast and the match is one JVM ``exists`` over a tiny array per
+    row (``parse_url`` host extraction + suffix compare — whole-stage
+    codegen, no Python, no shuffle).
+    """
+    if rules is None:
+        return links
+    host = F.lower(F.expr("parse_url(url, 'HOST')"))
+    joined = links.join(F.broadcast(rules), "source", "left")
+    no_rule = F.col("allowed_domains").isNull() | (F.size("allowed_domains") == 0)
+    on_site = F.exists(
+        F.col("allowed_domains"),
+        lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
+    )
+    bypass = F.coalesce(F.col("dont_filter"), F.lit(False)) if "dont_filter" in links.columns else F.lit(False)
+    return joined.filter(no_rule | bypass | on_site).drop("allowed_domains")
+
+
 def assign_seq(df: DataFrame, order_cols: list, base: int) -> DataFrame:
     """Attach a globally ordered ``discovered_seq`` > ``base``.
 

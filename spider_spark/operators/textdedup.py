@@ -471,3 +471,168 @@ def line_dedup(
             ),
         )
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set (the public recipe: GPT-3
+    Brown et al. 2020 App. C uses 13-gram overlap; PaLM / Llama use the
+    same shape). Returns one row per document:
+    (doc_id, n_hits, contaminated) where n_hits counts contaminated
+    n-gram OCCURRENCES in the doc (not distinct grams).
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are thousands of docs vs billions), so its distinct
+    gram digests BROADCAST; the corpus side is explode -> broadcast
+    inner join (drops ~every row) -> groupBy doc_id over the surviving
+    handful. The only corpus-wide shuffle is the final left join back
+    on doc_id — no distinct over exploded grams, no benchmark-side
+    shuffle of the corpus.
+    """
+    bench_grams = (
+        benchmark.select(TX.tokens(F.col(bench_text_col)).alias("toks"))
+        .select(F.explode(TX.word_shingles_from(F.col("toks"), n)).alias("g"))
+        .select(F.md5("g").alias("gd"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("toks")
+    ).select(
+        id_col, F.explode(TX.word_shingles_from(F.col("toks"), n)).alias("g")
+    ).select(id_col, F.md5("g").alias("gd"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gd")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return documents.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple:
+    """Cheap order-insensitive fingerprint of an edge set: row count plus
+    two bounded hash sums (mod a prime so the long sum can never
+    overflow under ANSI mode even at 10^10 edges)."""
+    p = F.lit(1000000007)
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v") % p).alias("h1"),
+        F.sum(F.xxhash64("v", "u") % p).alias("h2"),
+    ).first()
+    return (row["n"], row["h1"], row["h2"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the published O(log n)-round
+    answer for web-scale graphs, vs O(diameter) for naive min-label
+    propagation. Returns (node, component) for every node that appears
+    in ``pairs``; component = min node id of the component.
+
+    Scale shape per round: one symmetrize (no shuffle — union), one
+    groupBy(u) min (map-side combinable), one equi-join back, one
+    distinct. Lineage is truncated every round with localCheckpoint —
+    without it the plan nests one join per iteration and Catalyst
+    analysis goes quadratic. Convergence is detected with a count +
+    bounded-hash-sum fingerprint (never collects edges to the driver).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        re_point = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            re_point.unionByName(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        nfp = _edge_fingerprint(nxt)
+        edges = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: a forest of stars (child -> component-min root)
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The step a real dedup pipeline needs AFTER pair generation:
+    resolve MinHash-LSH candidate pairs into duplicate CLUSTERS and pick
+    one surviving representative per cluster (min doc_id — the
+    deterministic "keep earliest" rule exact_dedup also uses). Returns
+    one row per document: (doc_id, cluster_id, is_kept); singletons are
+    their own cluster and kept.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            documents, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
+    cc = connected_components(pairs)
+    return (
+        documents.select(id_col)
+        .join(cc, documents[id_col] == cc["node"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("cluster_id") == F.col(id_col))
+    )

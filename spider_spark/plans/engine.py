@@ -79,6 +79,7 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         sitemaps: DataFrame | None = None,
         link_rules: DataFrame | None = None,
+        offsite_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -89,6 +90,9 @@ class CrawlEngine:
         #: optional LinkExtractor allow/deny dim (source, link_allow,
         #: link_deny) — sources/registry.link_rules_df
         self.link_rules = link_rules
+        #: optional OffsiteMiddleware dim (source, allowed_domains) —
+        #: sources/registry.offsite_rules_df (1,249 reference spiders)
+        self.offsite_rules = offsite_rules
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
     def close(self) -> None:
@@ -212,6 +216,7 @@ class CrawlEngine:
 
             docs = S.extract_documents(ok)
             new_links = S.apply_link_rules(S.extract_links(ok), self.link_rules)
+            new_links = S.offsite_filter(new_links, self.offsite_rules)
             new_links = S.assign_seq(
                 new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
             ).drop("link_pos")

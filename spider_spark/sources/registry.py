@@ -60,6 +60,12 @@ class SiteSpec:
     #: LinkExtractor allow/deny regex (None = no constraint)
     link_allow: str | None = None
     link_deny: str | None = None
+    #: OffsiteMiddleware analog (``allowed_domains`` on 1,249 reference
+    #: spiders, e.g. ``2a-immo.fr``): child links whose host is not one
+    #: of these domains (or a subdomain) are dropped before admission.
+    #: Empty = no restriction (Scrapy: no allowed_domains -> no offsite
+    #: filtering).
+    allowed_domains: list[str] = field(default_factory=list)
     #: SitemapSpider analog (athimmo_be.py:18-26): sitemap URLs become
     #: seed rows and are expanded pre-wave-0 by
     #: sources.sitemap.expand_sitemap_seeds (they match *.xml)
@@ -153,6 +159,16 @@ def link_rules_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = No
     return spark.createDataFrame(
         rows, "source string, link_allow string, link_deny string"
     )
+
+
+def offsite_rules_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:
+    """Per-source ``allowed_domains`` dim for
+    ``operators.spans.offsite_filter`` (OffsiteMiddleware analog;
+    ``allowed_domains`` appears on 1,249 reference spiders). One row per
+    source; empty array = no restriction."""
+    reg = registry if registry is not None else REGISTRY
+    rows = [(s.source, [d.lower() for d in s.allowed_domains]) for s in reg.values()]
+    return spark.createDataFrame(rows, "source string, allowed_domains array<string>")
 
 
 def seeds_from_registry(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:

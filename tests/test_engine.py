@@ -169,6 +169,78 @@ def test_link_extractor_allow_deny(spark, tmp_path):
     assert d1 == d2  # documents unaffected (dead links 404 anyway)
 
 
+def test_offsite_filter(spark, tmp_path):
+    """OffsiteMiddleware analog (allowed_domains, 1,249 reference
+    spiders): unit semantics (exact host / subdomain / port / case /
+    dont_filter bypass / empty = pass-all) + engine-level pruning of
+    cross-host links."""
+    from spider_spark.operators.spans import offsite_filter
+    from spider_spark.sources.registry import offsite_rules_df
+
+    links = spark.createDataFrame(
+        [
+            ("s1", "http://allowed.fr/a", False),        # exact host
+            ("s1", "http://sub.allowed.fr/b", False),    # subdomain
+            ("s1", "http://ALLOWED.FR/c", False),        # case-insensitive
+            ("s1", "http://allowed.fr:8080/d", False),   # port stripped
+            ("s1", "http://notallowed.fr/e", False),     # offsite -> drop
+            ("s1", "http://evil-allowed.fr/f", False),   # not a subdomain -> drop
+            ("s1", "http://offsite.example/g", True),    # dont_filter bypass
+            ("s2", "http://anything.example/h", False),  # empty rules -> pass
+            ("s3", "http://norule.example/i", False),    # no rules row -> pass
+        ],
+        "source string, url string, dont_filter boolean",
+    )
+    rules = spark.createDataFrame(
+        [("s1", ["allowed.fr"]), ("s2", [])],
+        "source string, allowed_domains array<string>",
+    )
+    out = {r["url"] for r in offsite_filter(links, rules).collect()}
+    assert out == {
+        "http://allowed.fr/a",
+        "http://sub.allowed.fr/b",
+        "http://ALLOWED.FR/c",
+        "http://allowed.fr:8080/d",
+        "http://offsite.example/g",
+        "http://anything.example/h",
+        "http://norule.example/i",
+    }
+    # registry dim shape + lowercasing
+    from spider_spark.sources.registry import REGISTRY, SiteSpec
+
+    reg = {"sx": SiteSpec(source="sx", seeds=[], allowed_domains=["MiXeD.Example"])}
+    dim = offsite_rules_df(spark, reg).collect()
+    assert dim[0]["allowed_domains"] == ["mixed.example"]
+    assert REGISTRY  # untouched default registry still present
+
+    # engine-level: seed ONLY the first host (the other hosts are
+    # reachable solely via cross-host links, cross_host_rate=1.0) and
+    # restrict the seeded source to its own host — the open crawl leaks
+    # onto every host, the offsite crawl must not leave host 0
+    spec = WebSpec(seed=11, n_hosts=4, pages_per_host=2, details_per_page=3,
+                   cross_host_rate=1.0, retry_rate=0.0)
+    h0 = spec.hosts[0]
+    one_seed = seeds_df(spark, spec).filter(F.lower(F.col("url")).contains(h0))
+    own_host = spark.createDataFrame(
+        [(f"spider_{h0.split('.')[0]}", [h0])],
+        "source string, allowed_domains array<string>",
+    )
+    cfg = CrawlConfig(crawl_id="os", n_buckets=8, wave_seconds=1.0, max_waves=40)
+    s1 = SnapshotStore(spark, str(tmp_path / "offsite"))
+    e1 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec),
+                     s1, cfg, offsite_rules=own_host)
+    e1.run(one_seed)
+    s2 = SnapshotStore(spark, str(tmp_path / "open"))
+    e2 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), s2, cfg)
+    e2.run(one_seed)
+    # offsite crawl never leaves host 0; the open crawl does
+    h1 = {r["host"] for r in e1.documents().select("host").distinct().collect()}
+    h2 = {r["host"] for r in e2.documents().select("host").distinct().collect()}
+    assert h1 == {h0}
+    assert len(h2) > 1
+    assert e1.url_seen().count() < e2.url_seen().count()
+
+
 def test_resume_from_checkpoint(spark, tmp_path):
     """Kill after wave k, resume, final state identical to a full run."""
     spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=3)

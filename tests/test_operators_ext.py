@@ -1182,3 +1182,156 @@ def test_line_dedup_corpus_first_occurrence(spark):
     assert out["d3"]["n_dropped"] == 1
     assert out["d4"]["text_deduped"] == "epsilon"
     assert out["d4"]["n_dropped"] == 0
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Benchmark decontamination (GPT-3 App. C shape): a doc sharing an
+    n-gram with the benchmark flags; near-miss (n-1 shared words) and
+    disjoint docs don't."""
+    from spider_spark.operators import textdedup as TD
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares two 5-grams: "the quick brown fox jumps" and
+            # "quick brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence"),
+            # only a 4-gram overlap ("quick brown fox jumps") -> clean
+            (2, "a quick brown fox jumps backwards"),
+            (3, "completely unrelated text with different words entirely"),
+            (4, "too short"),
+            # case/punctuation-insensitive via tokens(): hits
+            (5, "QUICK, brown FOX jumps over!! the lazy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in TD.decontaminate(docs, bench, n=5).collect()}
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    assert out[5][1] is True and out[5][0] >= 2  # two overlapping 5-grams
+    assert len(out) == 5  # every doc present, zero-filled
+
+
+def test_pii_redaction_vectors(spark):
+    """PII counts + typed-tag redaction golden vectors (functions/text)."""
+    from spider_spark.functions import text as TX
+
+    rows = [
+        (1, "write to john.doe+spam@sub.mail.example today"),
+        (2, "call +49 30 1234 567 or +1 212 555 0199 now"),
+        (3, "server at 10.0.0.1 and 192.168.255.34."),
+        (4, "no pii here, just a price 1.234,56 and v1.2.3"),
+        (5, "mixed a@b.example +44 20 7946 0958 127.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.pii_email_count(F.col("t")).alias("e"),
+            TX.pii_phone_count(F.col("t")).alias("p"),
+            TX.pii_ipv4_count(F.col("t")).alias("i"),
+            TX.redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 0, 0)
+    assert out[1]["red"] == "write to <EMAIL> today"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 2, 0)
+    assert out[2]["red"] == "call <PHONE> or <PHONE> now"
+    assert (out[3]["e"], out[3]["p"], out[3]["i"]) == (0, 0, 2)
+    assert out[3]["red"] == "server at <IP> and <IP>."
+    # price with thousands separators / version strings stay untouched
+    assert (out[4]["e"], out[4]["p"], out[4]["i"]) == (0, 0, 0)
+    assert out[4]["red"] == rows[3][1]
+    assert (out[5]["e"], out[5]["p"], out[5]["i"]) == (1, 1, 1)
+    assert out[5]["red"] == "mixed <EMAIL> <PHONE> <IP>"
+
+
+def test_connected_components_shapes(spark):
+    """large-star/small-star CC (Kiveris SoCC'14): chain (worst case for
+    naive propagation), star, clique, and multiple components all
+    resolve to min-id labels; singleton docs label themselves."""
+    from spider_spark.operators import textdedup as TD
+
+    # chain 1-2-3-4-5-6-7-8, clique {20,21,22}, pair {30,31}, reversed
+    # and duplicated edges mixed in
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+         (20, 21), (21, 22), (20, 22),
+         (31, 30), (30, 31)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["component"]
+          for r in TD.connected_components(pairs).collect()}
+    assert {cc[n] for n in range(1, 9)} == {1}
+    assert cc[20] == cc[21] == cc[22] == 20
+    assert cc[30] == cc[31] == 30
+    assert len(cc) == 13
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 20, 21, 30, 31, 99]],
+        "doc_id long, text string",
+    )
+    sub_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_kept"])
+           for r in TD.dedup_clusters(docs, pairs=sub_pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[20] == (20, True) and out[21] == (20, False)
+    assert out[30] == (30, True) and out[31] == (30, False)
+    assert out[99] == (99, True)  # singleton: own cluster, kept
+    # exactly one kept representative per cluster
+    kept = [v for v in out.values() if v[1]]
+    assert len(kept) == len({c for c, _ in out.values()})
+
+
+def test_deterministic_sample_and_pack_shards(spark):
+    """mixing operators: hash-gate sampling is reproducible, respects
+    per-stratum rates, salt decorrelates; pack_shards' distributed
+    prefix sum equals the naive global-window reference and respects
+    the budget boundary rule."""
+    from pyspark.sql.window import Window
+    from spider_spark.operators import mixing as MX
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 10 + i % 7) for i in range(1, 401)],
+        "doc_id long, source string, w int",
+    )
+    kept = MX.deterministic_sample(df, {"a": 0.5, "b": 1.0})
+    again = MX.deterministic_sample(df, {"a": 0.5, "b": 1.0})
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids1 == sorted(r["doc_id"] for r in again.collect())  # reproducible
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert by_src["b"] == 200                  # rate 1.0 keeps all
+    assert 60 <= by_src["a"] <= 140            # rate 0.5 ± hash noise
+    # unknown stratum defaults to keep-all
+    extra = spark.createDataFrame([(9999, "zzz", 1)], "doc_id long, source string, w int")
+    assert MX.deterministic_sample(extra, {"a": 0.0}).count() == 1
+    # salt decorrelates: two salted halves differ from each other
+    s1 = {r["doc_id"] for r in MX.deterministic_sample(df, {"a": 0.5, "b": 0.5}, salt="x").collect()}
+    s2 = {r["doc_id"] for r in MX.deterministic_sample(df, {"a": 0.5, "b": 0.5}, salt="y").collect()}
+    assert s1 != s2
+
+    packed = MX.pack_shards(df, "w", budget=100, order_col="doc_id", n_buckets=7)
+    ref = df.withColumn(
+        "cum_before",
+        F.sum(F.col("w").cast("long")).over(Window.orderBy("doc_id")) - F.col("w"),
+    ).withColumn("shard_id", F.floor(F.col("cum_before") / 100).cast("long"))
+    got = {r["doc_id"]: (r["cum_before"], r["shard_id"]) for r in packed.collect()}
+    want = {r["doc_id"]: (r["cum_before"], r["shard_id"]) for r in ref.collect()}
+    assert got == want
+    # shard ids are dense from 0 and each shard's first row starts at a
+    # cum_before inside [shard*budget, (shard+1)*budget)
+    shards = sorted({v[1] for v in got.values()})
+    assert shards == list(range(len(shards)))
+    # single-bucket degenerate + empty input
+    assert MX.pack_shards(df.limit(3), "w", budget=10**9, order_col="doc_id").count() == 3
+    empty = MX.pack_shards(df.filter("doc_id < 0"), "w", budget=10, order_col="doc_id")
+    assert empty.count() == 0 and "shard_id" in empty.columns
