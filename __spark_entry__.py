@@ -37,8 +37,10 @@ from spider_spark.functions import text as TX
 from spider_spark.functions.urls import canonicalize_udf
 from spider_spark.operators import ann as ANN
 from spider_spark.operators import dedup as D
+from spider_spark.operators import graphrank as GR
 from spider_spark.operators import mixing as MX
 from spider_spark.operators import politeness as P
+from spider_spark.operators import revisit as RV
 from spider_spark.operators import textdedup as TD
 
 RETRY_CODES = [500, 503, 504, 400, 401, 403, 404, 405, 407, 408, 416, 456, 502, 429]
@@ -202,12 +204,33 @@ def q_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = F.when(F.col("user_id") % 2 == 0, F.lit("rent_australia_com")).otherwise(
         F.lit("rent_us_com")
     )
+    # folded in (round 3, second fold pass): extract_utilities — 6 chars
+    # after the LAST currency symbol (helper.py:492-498) + the pipeline's
+    # numeric coercion (pipelines.py:166-167)
+    util_n = (eid % 300 + 50).cast("string")
+    util_frac = F.element_at(
+        F.array(F.lit("25"), F.lit("50"), F.lit("75"), F.lit("00")),
+        (eid % 4 + 1).cast("int"),
+    )
+    util_desc = F.when(
+        eid % 5 == 0,
+        F.concat(F.lit("no symbol here, rent "), util_n, F.lit(" monthly")),
+    ).otherwise(
+        F.concat(
+            F.lit("rent € "), (eid % 90 + 1).cast("string"),
+            F.lit(" plus utilities € "), util_n, F.lit(","), util_frac,
+            F.lit(" monthly"),
+        )
+    )
+    raw_util = N.extract_utilities("€", util_desc)
     return ev.select(
         eid.alias("eid"),
         N.extract_last_number_only(raw1, ".", ",").try_cast("double").alias("last_num"),
         N.remove_unicode_char(uni_raw).alias("ascii_text"),
         N.convert_to_numeric(num_raw).alias("num"),
         N.currency_parser(rent, src).alias("currency"),
+        raw_util.alias("utilities_raw"),
+        N.convert_string_to_numeric(raw_util, ".", ",").alias("utilities"),
     )
 
 
@@ -476,33 +499,6 @@ def q_rent_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rent, 4).alias("rent"),
         F.round(stored, 4).alias("rent_stored"),
         currency.alias("currency"),
-    )
-
-
-def q_utilities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """extract_utilities: 6 chars after the LAST currency symbol
-    (helper.py:492-498), then the pipeline's numeric coercion
-    (pipelines.py:166-167)."""
-    ev = _t(spark, sf_dir, "events")
-    eid = F.col("event_id")
-    u = (eid % 300 + 50).cast("string")
-    frac = F.element_at(
-        F.array(F.lit("25"), F.lit("50"), F.lit("75"), F.lit("00")),
-        (eid % 4 + 1).cast("int"),
-    )
-    desc = F.when(
-        eid % 5 == 0, F.concat(F.lit("no symbol here, rent "), u, F.lit(" monthly"))
-    ).otherwise(
-        F.concat(
-            F.lit("rent € "), (eid % 90 + 1).cast("string"),
-            F.lit(" plus utilities € "), u, F.lit(","), frac, F.lit(" monthly"),
-        )
-    )
-    raw_util = N.extract_utilities("€", desc)
-    return ev.select(
-        eid.alias("eid"),
-        raw_util.alias("utilities_raw"),
-        N.convert_string_to_numeric(raw_util, ".", ",").alias("utilities"),
     )
 
 
@@ -829,6 +825,54 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization by link authority
+    (operators/graphrank.pagerank — power iteration with dangling-mass
+    redistribution, Page et al. 1999 / Cho et al. WWW'98 "crawl by URL
+    ordering"). Graph: 300-node digraph derived deterministically from
+    lineitem (src = l_orderkey % 300, dst = l_partkey % 300, parallel
+    edges collapsed). The oracle unrolls the same 6 power iterations as
+    plain SQL CTEs. Ranks reported in parts-per-million so the driver's
+    4-decimal value hash sees ~6 significant digits."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    ranks = GR.pagerank(edges, damping=0.85, n_iter=6)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1000000, 2).alias("rank_ppm")
+    )
+
+
+def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (operators/revisit.change_rate_schedule): the
+    Cho & Garcia-Molina (TOIT'03) Poisson change-rate estimator over a
+    deterministic fetch history derived from events — 500 URLs x 20
+    fetches 12 h apart; the content digest changes on purchase/error
+    events. Output: per-URL rate (per day), clamped revisit interval,
+    next due time."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    hist = ev.select(
+        F.concat(F.lit("u"), (eid % 500).cast("string")).alias("url"),
+        (F.floor(eid / 500) * 43200.0).cast("double").alias("fetch_time"),
+        F.when(
+            F.col("event_type").isin("purchase", "error"),
+            F.concat(F.lit("c"), eid.cast("string")),
+        ).otherwise(F.lit("stable")).alias("content_digest"),
+    )
+    out = RV.change_rate_schedule(hist)
+    return out.select(
+        "url",
+        "n_fetches",
+        "n_changes",
+        F.round(F.col("lambda_per_s") * 86400, 4).alias("lambda_per_day"),
+        "revisit_interval_s",
+        "next_due_s",
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TD.exact_dedup(docs)
@@ -840,8 +884,18 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + their EXACT n-gram Jaccard (the verify
+    step a real near-dup pipeline runs on the candidates). Folded in
+    (round 3, second fold pass): ngram_jaccard — the exact inverted
+    index path — now exercises on the same shingle set the LSH used,
+    so the query pins both operators and their agreement."""
     docs = _t(spark, sf_dir, "documents")
-    return TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5)
+    pairs = TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5)
+    exact = TD.ngram_jaccard_pairs(docs, threshold=0.0, shingle_n=5)
+    return pairs.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b",
+        F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,11 +906,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
     return TD.dedup_clusters(docs, n_hashes=8, bands=4, shingle_n=5)
-
-
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return TD.ngram_jaccard_pairs(docs, threshold=0.2, shingle_n=3)
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "pagerank": q_pagerank,
+        "revisit": q_revisit,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "politeness_topk": q_politeness_topk,
@@ -1445,7 +1496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_date": q_extract_date,
         "date_multilocale": q_date_multilocale,
         "rent_currency": q_rent_currency,
-        "utilities": q_utilities,
         "rent_sanity": q_rent_sanity,
         "amenities": q_amenities,
         "property_type": q_property_type,
@@ -1456,7 +1506,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
         "winnow": q_winnow,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -1672,6 +1721,29 @@ def oracle_sql() -> dict[str, str]:
     band = lambda b, r: (  # noqa: E731
         "md5(" + " || '|' || ".join(f"mh{b * r + i}" for i in range(r)) + ")"
     )
+
+    # pagerank: unroll the 6 power iterations as chained CTEs (standard
+    # SQL can't re-aggregate inside a recursive CTE) — each round is the
+    # exact arithmetic graphrank.pagerank runs: base + d*(inflow +
+    # dangling/n), inflow = sum(rank/out_degree) over in-edges.
+    def pr_round(prev: str, cur: str) -> str:
+        return f"""
+            {cur} AS (
+                SELECT nodes.node,
+                       (0.15 / (SELECT n FROM nn))
+                       + 0.85 * (coalesce(i.inflow, 0)
+                                 + (SELECT coalesce(sum(r.rank), 0)
+                                    FROM {prev} r LEFT JOIN deg
+                                      ON deg.src = r.node
+                                    WHERE deg.src IS NULL)
+                                   / (SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT ce.dst, sum(r.rank * ce.w) AS inflow
+                    FROM {prev} r JOIN ce ON ce.src = r.node
+                    GROUP BY ce.dst) i ON i.dst = nodes.node)"""
+
+    pr_iters = ",".join(pr_round(f"r{i}", f"r{i + 1}") for i in range(6))
+
     return {
         "url_canonicalize": f"""
             SELECT seq, canonical_url FROM ({_FRONTIER_SQL})
@@ -1750,13 +1822,26 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 2 THEN '$30' WHEN 3 THEN 'TL99' WHEN 4 THEN 'CHF 5'
                             WHEN 5 THEN 'QAR 7' ELSE 'idk' END AS rent,
                        CASE WHEN user_id % 2 = 0 THEN 'rent_australia_com'
-                            ELSE 'rent_us_com' END AS src
+                            ELSE 'rent_us_com' END AS src,
+                       CASE WHEN event_id % 5 = 0
+                            THEN 'no symbol here, rent ' || (event_id % 300 + 50)
+                                 || ' monthly'
+                            ELSE 'rent € ' || (event_id % 90 + 1)
+                                 || ' plus utilities € ' || (event_id % 300 + 50)
+                                 || ',' || (['25','50','75','00'])
+                                     [CAST(event_id % 4 AS INT) + 1]
+                                 || ' monthly' END AS descr
                 FROM events),
             p AS (SELECT eid,
                          regexp_extract_all(replace(replace(raw1, '.', ''), ',', '.'),
                              '(\\d+(?:\\.\\d+)?)', 1) AS nums,
-                         uni_raw, num_raw, rent, src
-                  FROM t)
+                         uni_raw, num_raw, rent, src,
+                         CASE WHEN contains(descr, '€')
+                              THEN substring(reverse(split_part(reverse(descr),
+                                   '€', 1)), 1, 6) END AS utilities_raw
+                  FROM t),
+            q AS (SELECT *, regexp_extract(replace(replace(utilities_raw, '.', ''),
+                              ',', '.'), '(\\d+(?:\\.\\d+)?)', 1) AS numstr FROM p)
             SELECT eid,
                    try_cast(coalesce(nums[len(nums)], '0') AS DOUBLE) AS last_num,
                    trim(regexp_replace(uni_raw, '[^\\x00-\\x7F]', ' ', 'g'))
@@ -1771,8 +1856,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN contains(rent, 'CHF') THEN 'CHF'
                         WHEN contains(rent, 'QAR') THEN 'QAR'
                         WHEN contains(rent, 'EUR') THEN 'EUR'
-                        ELSE NULL END AS currency
-            FROM p
+                        ELSE NULL END AS currency,
+                   utilities_raw,
+                   CASE WHEN utilities_raw IS NULL THEN NULL
+                        ELSE try_cast(CASE WHEN numstr = '' THEN '0' ELSE numstr END
+                                      AS DOUBLE) END AS utilities
+            FROM q
         """,
         "retry_policy": f"""
             SELECT seq, status, CAST(attempt + 1 AS INT) AS attempt_next,
@@ -1891,31 +1980,6 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE), 4) AS rent_stored,
                    {_CURRENCY_CASE_SQL} AS currency
             FROM s2
-        """,
-        "utilities": """
-            WITH t AS (
-                SELECT event_id AS eid,
-                       CASE WHEN event_id % 5 = 0
-                            THEN 'no symbol here, rent ' || (event_id % 300 + 50)
-                                 || ' monthly'
-                            ELSE 'rent € ' || (event_id % 90 + 1)
-                                 || ' plus utilities € ' || (event_id % 300 + 50)
-                                 || ',' || (['25','50','75','00'])
-                                     [CAST(event_id % 4 AS INT) + 1]
-                                 || ' monthly' END AS descr
-                FROM events),
-            u AS (SELECT eid,
-                         CASE WHEN contains(descr, '€')
-                              THEN substring(reverse(split_part(reverse(descr),
-                                   '€', 1)), 1, 6) END AS utilities_raw FROM t),
-            n AS (SELECT eid, utilities_raw,
-                         regexp_extract(replace(replace(utilities_raw, '.', ''),
-                              ',', '.'), '(\\d+(?:\\.\\d+)?)', 1) AS numstr FROM u)
-            SELECT eid, utilities_raw,
-                   CASE WHEN utilities_raw IS NULL THEN NULL
-                        ELSE try_cast(CASE WHEN numstr = '' THEN '0' ELSE numstr END
-                                      AS DOUBLE) END AS utilities
-            FROM n
         """,
         "rent_sanity": """
             SELECT event_id AS eid, (event_id * 7919) % 60000 AS rent
@@ -2120,6 +2184,62 @@ def oracle_sql() -> dict[str, str]:
                         '{_PII_IPV4_SQL}', '<IP>', 'g') AS redacted
             FROM t
         """,
+        "pagerank": f"""
+            WITH e AS (
+                SELECT DISTINCT l_orderkey % 300 AS src,
+                                l_partkey % 300 AS dst
+                FROM lineitem),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                    FROM e GROUP BY src),
+            ce AS (SELECT e.src, e.dst, 1.0 / deg.deg AS w
+                   FROM e JOIN deg ON deg.src = e.src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            {pr_iters}
+            SELECT node, round(rank * 1000000, 2) AS rank_ppm FROM r6
+        """,
+        "revisit": """
+            WITH h AS (
+                SELECT 'u' || CAST(event_id % 500 AS VARCHAR) AS url,
+                       CAST(event_id // 500 AS DOUBLE) * CAST(43200 AS DOUBLE)
+                           AS t,
+                       CASE WHEN event_type IN ('purchase', 'error')
+                            THEN 'c' || CAST(event_id AS VARCHAR)
+                            ELSE 'stable' END AS d
+                FROM events),
+            w AS (SELECT url, t, d,
+                         lag(d) OVER (PARTITION BY url ORDER BY t) AS pd
+                  FROM h),
+            a AS (SELECT url, count(*) AS n_fetches,
+                         sum(CASE WHEN pd IS NOT NULL AND d <> pd
+                                  THEN 1 ELSE 0 END) AS n_changes,
+                         max(t) AS last_t,
+                         (max(t) - min(t))
+                             / greatest(count(*) - 1, 1) AS mi
+                  FROM w GROUP BY url),
+            l AS (SELECT *,
+                         CASE WHEN n_fetches - 1 > 0 AND mi > 0 THEN
+                             -ln((n_fetches - 1 - n_changes
+                                  + CAST(0.5 AS DOUBLE))
+                                 / (n_fetches - 1 + CAST(0.5 AS DOUBLE)))
+                             / mi END AS lam
+                  FROM a),
+            c AS (SELECT *,
+                         CASE WHEN lam IS NULL THEN CAST(3600 AS DOUBLE)
+                              ELSE least(CAST(2592000 AS DOUBLE),
+                                   greatest(CAST(3600 AS DOUBLE),
+                                       CASE WHEN lam > 0 THEN 1.0 / lam
+                                            ELSE CAST(2592000 AS DOUBLE)
+                                       END))
+                         END AS iv
+                  FROM l)
+            SELECT url, n_fetches, n_changes,
+                   round(round(lam, 10) * 86400, 4) AS lambda_per_day,
+                   round(iv, 4) AS revisit_interval_s,
+                   round(last_t + iv, 4) AS next_due_s
+            FROM c
+        """,
         "minhash_signature": f"""
             WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
             s AS (SELECT doc_id, {shingles3} AS sh FROM t)
@@ -2140,10 +2260,26 @@ def oracle_sql() -> dict[str, str]:
                 LATERAL (
                     SELECT unnest([0,1,2,3]) AS band,
                            unnest([{band(0, 2)}, {band(1, 2)},
-                                   {band(2, 2)}, {band(3, 2)}]) AS bh) b)
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+                                   {band(2, 2)}, {band(3, 2)}]) AS bh) b),
+            prs AS (
+                SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM banded l JOIN banded r
+                  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+            shd AS (
+                SELECT DISTINCT doc_id, u.s FROM s,
+                LATERAL (SELECT unnest(sh) AS s) u),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+            common AS (
+                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
+                FROM shd l JOIN shd r ON l.s = r.s AND l.doc_id < r.doc_id
+                GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b,
+                   coalesce(round(c.c / (sa.n_sh + sb.n_sh - c.c), 4), 0.0)
+                       AS jaccard
+            FROM prs p
+            LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+            LEFT JOIN sizes sa ON sa.doc_id = p.id_a
+            LEFT JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE
@@ -2173,23 +2309,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS doc_id, min(l) AS cluster_id,
                    min(l) = v AS is_kept
             FROM reach GROUP BY v
-        """,
-        "ngram_jaccard": f"""
-            WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-            sh AS (
-                SELECT DISTINCT doc_id, s FROM t,
-                LATERAL (SELECT unnest({shingles3}) AS s) u),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (
-                SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS c
-                FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
-                GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(c / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(c / (sa.n_sh + sb.n_sh - c), 4) >= 0.2
         """,
         "winnow": """
             WITH n AS (

@@ -1,0 +1,134 @@
+"""Link-graph PageRank for frontier prioritization.
+
+Production crawlers order their frontier by link authority — the
+original use PageRank was designed for (Page et al. 1999; Cho,
+Garcia-Molina & Page, "Efficient crawling through URL ordering",
+WWW'98). The reference fleet has no equivalent (each Scrapy spider
+crawls its own site with FIFO/priority ordering, SURVEY.md §2.2), but
+a 10^10-URL frontier needs a global importance signal to spend its
+politeness budget well; this module supplies it and
+:func:`rank_priorities` converts ranks into the engine's integer
+``priority`` column (``operators/politeness.dispatch_order`` sorts on
+it DESC).
+
+Scale shape (per power iteration):
+
+* one equi-join ``ranks ⋈ edges`` on ``src`` — both sides hash-partition
+  on the same key, and AQE handles hub skew (a hub's fan-out is edge
+  rows, not a window);
+* one ``groupBy(dst).sum`` — map-side combinable;
+* dangling-node mass and the L1 delta come back as ONE driver row per
+  iteration (an O(1) collect, same budget as the wave loop's stats);
+* lineage is truncated every iteration with ``localCheckpoint`` —
+  without it the plan nests one join per iteration and Catalyst
+  analysis goes quadratic (same hygiene as
+  ``textdedup.connected_components``).
+
+Determinism: pure arithmetic over a fixed iteration count (or an L1
+tolerance) — no RNG, no task-order dependence, so the same graph gives
+bit-identical ranks on any cluster size and the DuckDB oracle can
+unroll the iterations as plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Returns one row per node that appears as ``src`` or ``dst``:
+    ``(node, rank)`` with ``sum(rank) == 1``. Parallel edges are
+    collapsed first (a page linking twice confers one vote — the
+    convention the original formulation and GraphX both use). Dangling
+    nodes (no out-links) redistribute their mass uniformly, keeping the
+    distribution stochastic. Stops after ``n_iter`` rounds, or earlier
+    when the L1 delta between successive rank vectors drops to ``tol``
+    (``tol=0`` = always run ``n_iter`` rounds — the deterministic,
+    oracle-friendly default).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # (src, dst, 1/deg) — the column the per-iteration join multiplies by
+    contrib_edges = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        inflow = (
+            ranks.join(contrib_edges, ranks["node"] == contrib_edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges (one tiny row)
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        new_ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def rank_priorities(
+    ranks: DataFrame, n_levels: int = 100, node_col: str = "node"
+) -> DataFrame:
+    """Map ranks to the engine's integer ``priority`` column:
+    ``ntile(n_levels)`` ascending by (rank, node), so the top-ranked
+    slice gets priority ``n_levels`` and the engine's
+    (priority DESC, discovered_seq ASC) dispatch order crawls
+    authoritative hosts first. Node is the window tie-break, making the
+    assignment deterministic under equal ranks.
+
+    The window is global but runs over the NODE dim (hosts, not URLs —
+    ~10^6-10^7 rows at a 10^10-URL frontier), and ntile needs only a
+    sort, no per-row Python. For a URL-level ranking swap ntile for a
+    fixed quantile cut from ``approxQuantile`` to avoid the single
+    sort partition.
+    """
+    w = Window.orderBy(F.asc("rank"), F.asc(node_col))
+    return ranks.select(
+        node_col, "rank", F.ntile(n_levels).over(w).alias("priority")
+    )

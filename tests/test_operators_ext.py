@@ -1335,3 +1335,94 @@ def test_deterministic_sample_and_pack_shards(spark):
     assert MX.pack_shards(df.limit(3), "w", budget=10**9, order_col="doc_id").count() == 3
     empty = MX.pack_shards(df.filter("doc_id < 0"), "w", budget=10, order_col="doc_id")
     assert empty.count() == 0 and "shard_id" in empty.columns
+
+
+def test_pagerank_power_iteration(spark):
+    """graphrank.pagerank equals a numpy power iteration (same damping,
+    dangling redistribution, iteration count) on a small digraph with a
+    hub, a dangling node, and a disconnected pair."""
+    import numpy as np
+    from spider_spark.operators import graphrank as GR
+
+    #   0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0 (cycle+hub), 3 dangling target
+    #   (2 -> 3), 4 <-> 5 disconnected pair; duplicate edge 0->1 again
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 5), (5, 4), (0, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["rank"] for r in GR.pagerank(edges, n_iter=12).collect()}
+
+    # numpy reference
+    n, d = 6, 0.85
+    out = {0: [1, 2], 1: [2], 2: [0, 3], 4: [5], 5: [4]}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[u] for u in range(n) if u not in out)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        nxt += d * dangling / n
+        r = nxt
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-9, (node, got[node], r[node])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic
+    # ranks -> engine priorities: top-ranked node gets the top ntile
+    pri = {x["node"]: x["priority"] for x in GR.rank_priorities(
+        GR.pagerank(edges, n_iter=12), n_levels=3).collect()}
+    top = max(got, key=got.get)
+    assert pri[top] == 3
+    # tol path: continue the numpy iteration to 60 rounds and check the
+    # tol-run lands on the same trajectory point (tol=1e-12 is never hit
+    # in 60 rounds, so all 60 run — the loop must not stop early)
+    for _ in range(48):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[u] for u in range(n) if u not in out)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        nxt += d * dangling / n
+        r = nxt
+    conv = {r2["node"]: r2["rank"] for r2 in GR.pagerank(edges, n_iter=60, tol=1e-12).collect()}
+    assert abs(conv[0] - r[0]) < 1e-9
+    # and a loose tol stops early at the shared fixed point
+    loose = {r3["node"]: r3["rank"] for r3 in GR.pagerank(edges, n_iter=500, tol=1e-4).collect()}
+    assert abs(loose[0] - r[0]) < 1e-3
+
+
+def test_change_rate_schedule_vectors(spark):
+    """revisit.change_rate_schedule: hand-computed Cho/Garcia-Molina
+    estimator, clamping, single-fetch default, due-set predicate."""
+    import math
+    from spider_spark.operators import revisit as RV
+
+    day = 86400.0
+    rows = []
+    # u1: 5 fetches, 1 day apart, digests change every fetch (X=4, n=4)
+    for i in range(5):
+        rows.append(("u1", i * day, f"h{i}"))
+    # u2: 5 fetches, never changes (X=0) -> lambda ~ ln((4.5)/(0.5)) wait, inverse
+    for i in range(5):
+        rows.append(("u2", i * day, "same"))
+    # u3: fetched once -> no interval evidence -> min_interval
+    rows.append(("u3", 0.0, "x"))
+    # u4: 3 fetches 2 days apart, one change (n=2, X=1)
+    rows.extend([("u4", 0.0, "a"), ("u4", 2 * day, "a"), ("u4", 4 * day, "b")])
+    hist = spark.createDataFrame(rows, "url string, fetch_time double, content_digest string")
+    out = {r["url"]: r.asDict() for r in RV.change_rate_schedule(hist).collect()}
+
+    lam1 = -math.log((4 - 4 + 0.5) / (4 + 0.5)) / day
+    # operator rounds lambda to 10 decimals -> up to 5e-11 quantization
+    assert abs(out["u1"]["lambda_per_s"] - lam1) < 6e-11
+    assert abs(out["u1"]["revisit_interval_s"] - 1.0 / lam1) < 1e-2
+    # never-changed: lambda = -ln((n+0.5)/(n+0.5)) = 0 -> clamps to max (30 d)
+    assert out["u2"]["lambda_per_s"] == 0.0
+    assert out["u2"]["revisit_interval_s"] == 30 * day
+    assert out["u3"]["lambda_per_s"] is None
+    assert out["u3"]["revisit_interval_s"] == 3600.0
+    lam4 = -math.log((2 - 1 + 0.5) / (2 + 0.5)) / (2 * day)
+    assert abs(out["u4"]["lambda_per_s"] - lam4) < 6e-11
+    assert out["u4"]["n_fetches"] == 3 and out["u4"]["n_changes"] == 1
+    # due set at t=5 days: u1 (due day 4 + ~1.1d), u3 (due at 1 h) are due
+    due = {r["url"] for r in RV.due_urls(RV.change_rate_schedule(hist), 5.2 * day).collect()}
+    assert "u3" in due and "u2" not in due
