@@ -62,6 +62,13 @@ class CrawlConfig:
     compact_every: int | None = None
     #: file count for compacted rewrites (None = keep partitioning)
     compact_partitions: int | None = None
+    #: record host->host link-graph edges per wave into a ``links``
+    #: table (every out-link, INCLUDING links back to already-seen
+    #: pages — the frontier lineage only keeps the discovery spanning
+    #: tree). Input to graphrank.pagerank for priority-ordered
+    #: recrawls. Costs one small aggregation job per wave; off by
+    #: default.
+    record_links: bool = False
 
     def backend(self) -> str:
         return self.seen_backend or ("bloom" if self.use_bloom else "exact")
@@ -80,6 +87,7 @@ class CrawlEngine:
         sitemaps: DataFrame | None = None,
         link_rules: DataFrame | None = None,
         offsite_rules: DataFrame | None = None,
+        host_ranks: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -93,6 +101,12 @@ class CrawlEngine:
         #: optional OffsiteMiddleware dim (source, allowed_domains) —
         #: sources/registry.offsite_rules_df (1,249 reference spiders)
         self.offsite_rules = offsite_rules
+        #: optional link-authority dim (host, priority) — typically
+        #: graphrank.rank_priorities over graphrank.host_graph of a
+        #: PREVIOUS crawl's frontier (Cho et al. WWW'98 "crawl by URL
+        #: ordering"). Ranked hosts get their rank as the dispatch
+        #: priority; unranked hosts keep the request's static priority.
+        self.host_ranks = host_ranks
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
     def close(self) -> None:
@@ -112,6 +126,24 @@ class CrawlEngine:
         write with the wave's other independent jobs).
         """
         cand = with_url_identity(candidates, self.cfg.n_buckets)
+        if self.host_ranks is not None:
+            # broadcast dim (one row per host): ranked hosts override the
+            # request's static priority so the politeness top-k spends
+            # the per-wave budget on authoritative hosts first
+            ranks = self.host_ranks.select(
+                F.col("host").alias("_rank_host"),
+                F.col("priority").cast("int").alias("_rank_priority"),
+            )
+            cand = (
+                cand.join(
+                    F.broadcast(ranks), cand["host"] == F.col("_rank_host"), "left"
+                )
+                .withColumn(
+                    "priority",
+                    F.coalesce(F.col("_rank_priority"), F.col("priority")),
+                )
+                .drop("_rank_host", "_rank_priority")
+            )
         cand = D.dedup_intra_batch(cand)
         backend = self.cfg.backend()
         if backend in ("bloom", "cuckoo"):
@@ -140,11 +172,18 @@ class CrawlEngine:
         return admitted, recorded
 
     # -- one wave -------------------------------------------------------------
-    def run(self, seeds: DataFrame, resume: bool = False) -> dict:
+    def run(self, seeds: DataFrame, resume: bool = False, inject: bool = False) -> dict:
         """Run the crawl to fixpoint; returns summary counters.
 
         ``resume=True`` continues from the last committed wave in the
         store (seeds are ignored if a checkpoint exists).
+        ``inject=True`` (with ``resume=True``) instead ADMITS ``seeds``
+        into the resumed frontier as their own committed wave — the
+        incremental-recrawl entry point (:meth:`recrawl_candidates`
+        emits ``dont_filter=True`` rows, which bypass the seen set, so
+        already-crawled URLs re-fetch). The injection commits before
+        the loop starts; a crash mid-injection resumes cleanly from the
+        previous wave and the injection is simply re-derivable.
         """
         cfg = self.cfg
         manifest = self.store.read_manifest() if resume else None
@@ -152,6 +191,24 @@ class CrawlEngine:
             wave = max(manifest["committed_waves"]) + 1
             next_base = int(manifest["extra"]["next_seq_base"])
             pending = self.store.read_table("frontier", "latest", schema=schemas.FRONTIER)
+            if inject and seeds is not None:
+                cand = _seed_candidates(seeds, cfg.crawl_id)
+                cand = S.assign_seq(
+                    cand, [F.asc("source"), F.asc("url")], next_base
+                ).drop("link_pos")
+                cand = cand.withColumn("wave", F.lit(wave))
+                admitted, recorded = self._admit(cand, wave)
+                self.store.write_wave("url_seen", wave, recorded)
+                merged = pending.unionByName(
+                    admitted.select(*pending.columns)
+                ).persist()
+                next_base = max(next_base, _max_seq(merged))
+                self.store.write_wave("frontier", wave, merged)
+                self.store.commit_wave(wave, {"next_seq_base": next_base})
+                merged.unpersist()
+                admitted.unpersist()
+                pending = self.store.read_table("frontier", "latest")
+                wave += 1
         else:
             wave = 0
             if self.sitemaps is not None:
@@ -162,19 +219,7 @@ class CrawlEngine:
                 seeds = expand_sitemap_seeds(seeds, self.sitemaps)
             # seed rows: deterministic order by (source, url) — documented
             # analog of start_urls list order (readme.md:33-55)
-            cand = seeds.select(
-                F.lit(cfg.crawl_id).alias("crawl_id"),
-                "url",
-                F.lit("GET").alias("method"),
-                F.lit(None).cast("string").alias("body"),
-                "source",
-                "meta",
-                "priority",
-                F.lit(0).alias("attempt"),
-                F.lit(False).alias("dont_filter"),
-                F.lit(0).cast("long").alias("parent_seq"),
-                F.lit(0).alias("link_pos"),
-            )
+            cand = _seed_candidates(seeds, cfg.crawl_id)
             cand = S.assign_seq(cand, [F.asc("source"), F.asc("url")], 0).drop("link_pos")
             cand = cand.withColumn("wave", F.lit(0))
             pending, recorded0 = self._admit(cand, 0)
@@ -221,6 +266,34 @@ class CrawlEngine:
                 new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
             ).drop("link_pos")
             new_links = new_links.withColumn("wave", F.lit(wave))
+            link_edges = None
+            if cfg.record_links:
+                # host-level edges from ALL out-links this wave (pre-
+                # dedup): dst host parses JVM-side from the absolute
+                # resolved URL; src host joins from the fetched page.
+                # Aggregated per (src, dst) before writing — host x host
+                # is tiny next to the link volume.
+                link_edges = (
+                    new_links.select(
+                        "parent_seq",
+                        F.lower(
+                            F.parse_url(F.col("url"), F.lit("HOST"))
+                        ).alias("dst_host"),
+                    )
+                    .filter(F.col("dst_host").isNotNull())
+                    .join(
+                        fetched.select(
+                            F.col("discovered_seq").alias("parent_seq"),
+                            F.col("host").alias("src_host"),
+                        ),
+                        "parent_seq",
+                    )
+                    .groupBy("src_host", "dst_host")
+                    .agg(F.count("*").alias("n"))
+                    .select(
+                        F.lit(wave).alias("wave"), "src_host", "dst_host", "n"
+                    )
+                )
             admitted, recorded = self._admit(new_links, wave)
 
             # persisted: the frontier write AND the pending-count stat
@@ -274,6 +347,11 @@ class CrawlEngine:
                 seen_fut = pool.submit(
                     self.store.write_wave, "url_seen", wave, recorded
                 )
+                links_fut = (
+                    pool.submit(self.store.write_wave, "links", wave, link_edges)
+                    if link_edges is not None
+                    else None
+                )
                 stats_fut = pool.submit(
                     lambda: {
                         r["side"]: r
@@ -309,6 +387,8 @@ class CrawlEngine:
                 docs_fut.result()
                 frontier_fut.result()
                 seen_fut.result()
+                if links_fut is not None:
+                    links_fut.result()
                 metrics_fut.result()
                 prof["writes_s"] = round(time.monotonic() - t_p, 3)
             next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
@@ -351,19 +431,146 @@ class CrawlEngine:
         return totals
 
     # -- outputs ------------------------------------------------------------
-    def documents(self) -> DataFrame:
+    def documents(self, latest_only: bool = False) -> DataFrame:
         """Final documents view: raw per-page rows with multi-page item
-        fragments merged (groupBy touches only the fragment subset)."""
+        fragments merged (groupBy touches only the fragment subset).
+
+        After an incremental recrawl (:meth:`recrawl_candidates` +
+        ``run(..., inject=True)``) the append table holds one row per
+        FETCH, so a re-fetched doc_id appears once per generation —
+        that is the history view. ``latest_only=True`` keeps the newest
+        generation per doc_id (max wave, then position — one window
+        keyed on the same doc_id the merge shuffles on). Caveat: a
+        recrawl re-fetches only the head page of a multi-page item
+        (continuation links dedupe against the seen set), so split
+        items keep their original merged row as a separate generation.
+        """
         raw = self.store.read_table(
             "documents", "append", schema=schemas.DOCUMENTS_FULL
         )
-        return S.merge_document_fragments(raw)
+        merged = S.merge_document_fragments(raw)
+        if latest_only:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("doc_id").orderBy(
+                F.desc("wave"), F.desc("position")
+            )
+            merged = (
+                merged.withColumn("_gen", F.row_number().over(w))
+                .filter(F.col("_gen") == 1)
+                .drop("_gen")
+            )
+        return merged
 
     def url_seen(self) -> DataFrame:
         return self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)
 
+    def fetch_history(self) -> DataFrame:
+        """(url, fetch_time, content_digest, source) per committed doc
+        fetch — the input shape ``operators/revisit`` wants. The time
+        axis is crawl time (wave * wave_seconds); the digest hashes the
+        document payload (spans + attrs), so a re-fetch that parses to
+        identical content counts as UNCHANGED for the change-rate
+        estimator even though it was fetched twice."""
+        raw = self.store.read_table(
+            "documents", "append", schema=schemas.DOCUMENTS_FULL
+        )
+        # the fetchable ABSOLUTE url comes from the request row that
+        # produced the doc (position == the request's discovered_seq;
+        # doc_id is a scheme-stripped content key, not a fetch target).
+        # Equi-join on the seq; distinct first because deferred frontier
+        # rows are re-written each wave they sit pending.
+        requests = (
+            self.store.read_table("frontier", "append", schema=schemas.FRONTIER)
+            .select(F.col("discovered_seq").alias("position"), "url")
+            .distinct()
+        )
+        return raw.join(requests, "position").select(
+            "url",
+            (F.col("wave").cast("double") * float(self.cfg.wave_seconds)).alias(
+                "fetch_time"
+            ),
+            # digest the CONTENT (spans) only — attrs is request-side
+            # meta lineage; a re-fetch that parses identically must
+            # count as unchanged even if its meta chain differs
+            F.sha1(F.to_json(F.struct("spans"))).alias("content_digest"),
+            "source",
+            F.col("attrs").alias("attrs"),
+        )
+
+    def recrawl_candidates(
+        self,
+        now_s: float,
+        min_interval_s: float = 3600.0,
+        max_interval_s: float = 30.0 * 86400.0,
+    ) -> DataFrame:
+        """Due-for-revisit URLs as a seeds-shaped DataFrame
+        (url, source, meta, priority, dont_filter=True) — feed into
+        ``run(cands, resume=True, inject=True)`` for an incremental
+        recrawl wave. Rates come from the Cho/Garcia-Molina estimator
+        over :meth:`fetch_history`; ``dont_filter=True`` re-admits URLs
+        past the seen set (their fingerprints are already recorded)."""
+        from ..operators import revisit as RV
+
+        hist = self.fetch_history()
+        sched = RV.change_rate_schedule(
+            hist, min_interval_s=min_interval_s, max_interval_s=max_interval_s
+        )
+        due = RV.due_urls(sched, now_s)
+        # re-thread the latest fetch's meta (attrs) so the re-fetch
+        # parses under the same request lineage (listing-routed
+        # property_type etc. survive recrawls)
+        src = hist.groupBy("url").agg(
+            F.max_by("source", "fetch_time").alias("source"),
+            F.max_by("attrs", "fetch_time").alias("meta"),
+        )
+        return due.join(src, "url").select(
+            "url",
+            "source",
+            F.col("meta").cast(schemas.SEEDS["meta"].dataType).alias("meta"),
+            F.lit(0).alias("priority"),
+            F.lit(True).alias("dont_filter"),
+        )
+
     def metrics(self) -> DataFrame:
         return self.store.read_table("metrics", "append", schema=schemas.METRICS)
+
+    def link_graph(self) -> DataFrame:
+        """Committed host-level link-graph edges (requires
+        ``CrawlConfig.record_links``): (src, dst) distinct host pairs,
+        self-edges dropped — feed straight into graphrank.pagerank,
+        then rank_priorities -> the NEXT crawl's ``host_ranks`` dim."""
+        raw = self.store.read_table("links", "append", schema=schemas.LINKS)
+        return (
+            raw.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+
+def _seed_candidates(seeds: DataFrame, crawl_id: str) -> DataFrame:
+    """Seed rows -> pre-identity frontier candidates. An optional
+    ``dont_filter`` column passes through (recrawl seeds set it True to
+    bypass the seen set, Scrapy Request(dont_filter=True) semantics);
+    plain seed tables default to False."""
+    dont = (
+        F.col("dont_filter")
+        if "dont_filter" in seeds.columns
+        else F.lit(False)
+    )
+    return seeds.select(
+        F.lit(crawl_id).alias("crawl_id"),
+        "url",
+        F.lit("GET").alias("method"),
+        F.lit(None).cast("string").alias("body"),
+        "source",
+        "meta",
+        "priority",
+        F.lit(0).alias("attempt"),
+        dont.cast("boolean").alias("dont_filter"),
+        F.lit(0).cast("long").alias("parent_seq"),
+        F.lit(0).alias("link_pos"),
+    )
 
 
 def schemas_frontier_cols(df: DataFrame) -> list[str]:

@@ -61,7 +61,7 @@ def try_iceberg(spark: SparkSession) -> bool:
         return False
 
 
-APPEND_TABLES = ("documents", "url_seen", "metrics")
+APPEND_TABLES = ("documents", "url_seen", "metrics", "links")
 LATEST_TABLES = ("frontier", "url_seen_filters")
 
 

