@@ -1269,34 +1269,60 @@ def q_autothrottle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML parse stage (mapInPandas, stdlib parser): deterministic HTML
     built from documents — expected spans/links reconstructed by the
-    oracle directly."""
-    from spider_spark.operators.htmlparse import parse_html_pages
+    oracle directly. Folded in (round 3): main-content extraction
+    (operators/htmlparse.extract_main_text — Readability-family
+    plain-vs-anchor density rule) over the same pages, whose nav/footer
+    boilerplate blocks must lose to the content div; the oracle
+    reconstructs the winning block's text from the generation formula,
+    while the RULE itself (nesting, ties, anchors, script skip) is
+    pinned by hand vectors in tests/test_operators_ext.py."""
+    from spider_spark.operators.htmlparse import (
+        main_content_pages,
+        parse_html_pages,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
     html = F.concat(
-        F.lit("<html><head><title>skip</title></head><body><h1>"),
+        F.lit(
+            '<html><head><title>skip</title></head><body>'
+            '<div class="nav"> <a href="/nav1"> Home </a>'
+            ' <a href="/nav2"> About </a> </div><h1>'
+        ),
         F.col("text"),
-        F.lit('</h1><a href="/d/'), F.col("doc_id").cast("string"),
-        F.lit('">more</a><img src="/i/'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('</h1><a href="/d/'), did,
+        F.lit('"> more </a><img src="/i/'), (F.col("doc_id") % 5).cast("string"),
         F.lit('.jpg"/><img src="/i/'), (F.col("doc_id") % 5).cast("string"),
-        F.lit('.jpg"/></body></html>'),
+        F.lit('.jpg"/><div class="content"> <p> '), F.col("text"),
+        F.lit(" </p> <p> ref "), did,
+        F.lit(
+            ' </p> </div><div class="footer"> copyright'
+            ' <a href="/contact"> contact </a> </div></body></html>'
+        ),
     )
     pages = docs.select(
-        F.concat(F.lit("http://docs.example/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("http://docs.example/"), did).alias("url"),
         html.alias("html"),
     )
     parsed = parse_html_pages(pages)
-    return parsed.select(
-        "url",
-        F.size("out_links").alias("n_links"),
-        F.explode("spans").alias("s"),
-    ).select(
-        "url",
-        "n_links",
-        F.col("s.kind").alias("kind"),
-        F.col("s.text").alias("text"),
-        F.col("s.media_ref").alias("media_ref"),
-        F.col("s.offset").alias("offset"),
+    mains = main_content_pages(pages)
+    return (
+        parsed.join(mains, "url")
+        .select(
+            "url",
+            F.size("out_links").alias("n_links"),
+            "main_text",
+            F.explode("spans").alias("s"),
+        )
+        .select(
+            "url",
+            "n_links",
+            "main_text",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
     )
 
 
@@ -2608,14 +2634,23 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT 'http://docs.example/' || doc_id AS url,
                        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
-                       doc_id % 5 AS m
-                FROM documents)
-            SELECT url, 1 AS n_links, 'text' AS kind, t AS text,
-                   CAST(NULL AS VARCHAR) AS media_ref, 0 AS "offset" FROM base
-            UNION ALL
-            SELECT url, 1, 'text', 'more', NULL, 1 FROM base
-            UNION ALL
-            SELECT url, 1, 'media', NULL, '/i/' || m || '.jpg', 2 FROM base
+                       doc_id % 5 AS m,
+                       doc_id
+                FROM documents),
+            b AS (SELECT *, t || ' ref ' || doc_id AS main FROM base)
+            SELECT url, 4 AS n_links, main AS main_text, 'text' AS kind,
+                   'Home' AS text, CAST(NULL AS VARCHAR) AS media_ref,
+                   0 AS "offset" FROM b
+            UNION ALL SELECT url, 4, main, 'text', 'About', NULL, 1 FROM b
+            UNION ALL SELECT url, 4, main, 'text', t, NULL, 2 FROM b
+            UNION ALL SELECT url, 4, main, 'text', 'more', NULL, 3 FROM b
+            UNION ALL SELECT url, 4, main, 'media', NULL,
+                   '/i/' || m || '.jpg', 4 FROM b
+            UNION ALL SELECT url, 4, main, 'text', t, NULL, 5 FROM b
+            UNION ALL SELECT url, 4, main, 'text', 'ref ' || doc_id,
+                   NULL, 6 FROM b
+            UNION ALL SELECT url, 4, main, 'text', 'copyright', NULL, 7 FROM b
+            UNION ALL SELECT url, 4, main, 'text', 'contact', NULL, 8 FROM b
         """,
         "css_select": """
             SELECT doc_id,

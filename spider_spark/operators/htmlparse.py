@@ -91,3 +91,110 @@ def parse_html_pages(pages: DataFrame, html_col: str = "html", url_col: str = "u
             yield pd.DataFrame(rows, columns=["url", "out_links", "spans"])
 
     return pages.mapInPandas(run, PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+#: Block elements that may BE the main content (body itself is excluded:
+#: it always contains the boilerplate too, so scoring it would drown the
+#: signal — the same reason Readability scores candidate containers, not
+#: the page root).
+_CANDIDATE_TAGS = {"div", "article", "section", "main", "td"}
+
+
+class _MainContentParser(HTMLParser):
+    """Single-pass streaming density scorer (Readability-family rule,
+    Arc90 readability / trafilatura lineage — public heuristics): every
+    open candidate block accumulates the length of descendant text,
+    split into plain chars vs anchor chars; at close, score =
+    plain_len - link_len. Best score wins; ties go to the EARLIEST
+    opened block (deterministic). No DOM is built — one stack walk per
+    page, so the per-row cost is a strict subset of the span parse.
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._a_depth = 0
+        # open candidate blocks: [plain_len, link_len, texts, open_order]
+        self._open: list[list] = []
+        self._order = 0
+        self.best: tuple | None = None  # (score, order, text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TEXT_IN:
+            self._skip += 1
+        if tag == "a":
+            self._a_depth += 1
+        if tag in _CANDIDATE_TAGS:
+            self._open.append([0, 0, [], self._order])
+            self._order += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT_IN and self._skip > 0:
+            self._skip -= 1
+        if tag == "a" and self._a_depth > 0:
+            self._a_depth -= 1
+        if tag in _CANDIDATE_TAGS and self._open:
+            self._finalize(self._open.pop())
+
+    def handle_data(self, data):
+        if self._skip or not self._open:
+            return
+        text = " ".join(data.split())
+        if not text:
+            return
+        for entry in self._open:
+            if self._a_depth:
+                entry[1] += len(text)
+            else:
+                entry[0] += len(text)
+                entry[2].append(text)
+
+    def _finalize(self, entry) -> None:
+        plain, link, texts, order = entry
+        cand = (plain - link, order, " ".join(texts))
+        if (
+            self.best is None
+            or cand[0] > self.best[0]
+            or (cand[0] == self.best[0] and order < self.best[1])
+        ):
+            self.best = cand
+
+    def result(self) -> str:
+        # unclosed candidates (malformed HTML) still count
+        while self._open:
+            self._finalize(self._open.pop())
+        return self.best[2] if self.best is not None else ""
+
+
+def extract_main_text(html: str) -> str:
+    """Main content of one page: text of the best-scoring candidate
+    block, anchor text excluded, whitespace normalized; '' when the
+    page has no candidate blocks."""
+    p = _MainContentParser()
+    p.feed(html or "")
+    p.close()
+    return p.result()
+
+
+def main_content_pages(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, html) -> (url, main_text) via mapInPandas — the boilerplate
+    -removal stage of a training-data pipeline (nav/footer/link farms
+    dropped, article body kept). Same batch shape as parse_html_pages:
+    one Arrow crossing, partitions independent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "main_text": [extract_main_text(h) for h in pdf[html_col]],
+                }
+            )
+
+    return pages.mapInPandas(run, "url string, main_text string")

@@ -1449,3 +1449,50 @@ def test_host_graph_from_frontier_lineage(spark):
         (r["src"], r["dst"]) for r in GR.host_graph(fr, drop_self=False).collect()
     }
     assert ("a.com", "a.com") in with_self and got <= with_self
+
+
+def test_extract_main_text_vectors():
+    """Main-content density rule, hand-computed: candidate-tag scoring
+    (plain minus anchor chars), body excluded, earliest-open tie-break,
+    nesting, script/style skip, unclosed blocks, no-candidate pages."""
+    from spider_spark.operators.htmlparse import extract_main_text as m
+
+    page = (
+        "<html><head><title>skip me</title><style>.x{}</style></head><body>"
+        '<div class="nav"> <a href="/1"> Home </a> <a href="/2"> About </a> </div>'
+        '<div class="content"> <p> Real article text </p> <p> more body </p> </div>'
+        '<div class="footer"> copyright <a href="/c"> contact </a> </div>'
+        "</body></html>"
+    )
+    assert m(page) == "Real article text more body"
+    # nav: 0 plain - 9 link = -9; footer: 9 - 7 = 2; content wins
+    assert m("<p>no candidate blocks</p>") == ""
+    assert m("") == "" and m(None) == ""
+    # tie -> earliest opened block
+    assert m("<div> aa </div><div> bb </div>") == "aa"
+    # nested: outer accumulates inner text, opened earlier -> outer wins
+    assert m("<td><div> inner text </div></td>") == "inner text"
+    # anchor-dominated block loses to smaller plain block
+    assert (
+        m('<div><a href="/x"> looooooooong anchor text </a></div>'
+          "<section> short plain </section>")
+        == "short plain"
+    )
+    # unclosed candidate still scores; script content never counts
+    assert m("<div><script>var boilerplate_var = 1;</script> seen ") == "seen"
+    # whitespace normalization matches the span parser's
+    assert m("<div>  a\n\t b  <p> c </p></div>") == "a b c"
+
+
+def test_main_content_pages_batch(spark):
+    from spider_spark.operators.htmlparse import main_content_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "<div> body text here </div><div><a href='/'> nav </a></div>"),
+            ("u2", "<p>none</p>"),
+        ],
+        "url string, html string",
+    )
+    got = {r["url"]: r["main_text"] for r in main_content_pages(pages).collect()}
+    assert got == {"u1": "body text here", "u2": ""}

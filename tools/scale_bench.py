@@ -61,11 +61,25 @@ def main():
     probe1 = cpu_probe(1)
     probe8 = cpu_probe(8)
     probe32 = cpu_probe(32)
+    # hardware ceiling at the SAME occupancies the study compares: with
+    # c busy processes each doing fixed work W in t(c) seconds, per-core
+    # speed is W/t(c); on this box it DROPS as occupancy rises (shared
+    # memory system, turbo/SMT), so even a perfectly parallel job cannot
+    # show (t_lo/t_hi)/(hi/lo) = 1. The ceiling for the lo->hi
+    # comparison is t_probe(lo)/t_probe(hi). Measured before AND after
+    # the Spark runs (median of the two) so box drift is visible.
+    probe_lo_runs = [cpu_probe(lo)]
+    probe_hi_runs = [cpu_probe(hi)]
 
     runs_lo, runs_hi = [], []
     for _ in range(reps):  # interleave lo/hi so box drift hits both equally
         runs_lo.append(run_at(lo, n))
         runs_hi.append(run_at(hi, n))
+    probe_lo_runs.append(cpu_probe(lo))
+    probe_hi_runs.append(cpu_probe(hi))
+    probe_lo = statistics.median(probe_lo_runs)
+    probe_hi = statistics.median(probe_hi_runs)
+    ceiling = probe_lo / probe_hi  # <=1; per-core speed ratio hi vs lo
     t_lo_all = sorted(r["queries"]["frontier_wave"] for r in runs_lo)
     t_hi_all = sorted(r["queries"]["frontier_wave"] for r in runs_hi)
     t_lo = statistics.median(t_lo_all)
@@ -92,7 +106,15 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_worst_pairing": round(eff_all[0], 3),
         "scaling_efficiency_best_pairing": round(eff_all[-1], 3),
-        "cpu_probe_s": {"1": round(probe1, 2), "8": round(probe8, 2), "32": round(probe32, 2)},
+        "hw_ceiling_lo_to_hi": round(ceiling, 3),
+        "scaling_efficiency_normalized": round(eff / ceiling, 3),
+        "cpu_probe_s": {
+            "1": round(probe1, 2),
+            str(lo): [round(t, 2) for t in probe_lo_runs],
+            "8": round(probe8, 2),
+            str(hi): [round(t, 2) for t in probe_hi_runs],
+            "32": round(probe32, 2),
+        },
     }
     print(json.dumps(result))
 
@@ -119,10 +141,24 @@ the spread is visible:
 | local[{lo}]  (N)  | {t_lo:.1f} | {lo_list} | {result['urls_per_sec_lo']:,} |
 | local[{hi}] (4N) | {t_hi:.1f} | {hi_list} | {result['urls_per_sec_hi']:,} |
 
-**Scaling efficiency (median_N / median_4N) / 4 = {result['scaling_efficiency']}**
-(north-rule target >= 0.8). Pairing the sorted run lists
-best-vs-worst bounds the efficiency estimate to
+**Scaling efficiency (median_N / median_4N) / 4 = {result['scaling_efficiency']}
+raw; {result['scaling_efficiency_normalized']} normalized to this box's
+hardware ceiling** (north-rule target >= 0.8). Pairing the sorted run
+lists best-vs-worst bounds the raw estimate to
 [{result['scaling_efficiency_worst_pairing']}, {result['scaling_efficiency_best_pairing']}].
+
+The normalization is NOT a fudge factor — it is measured, Spark-free,
+on this box for this report: {lo} busy Python processes (fixed work
+each) ran {statistics.median(probe_lo_runs):.2f} s vs
+{statistics.median(probe_hi_runs):.2f} s for {hi} processes, i.e. at
+{hi}-core occupancy each core runs at
+{100 * result['hw_ceiling_lo_to_hi']:.0f}% of its {lo}-core-occupancy
+speed (shared memory system + turbo/SMT). A perfectly parallel job on
+this box therefore cannot exceed {result['hw_ceiling_lo_to_hi']} raw
+efficiency; dividing the measured raw efficiency by that ceiling gives
+the number comparable to the north rule's N-vs-4N *executors*, which
+add hardware (cores, memory channels, NICs) instead of subdividing one
+machine's.
 
 ## What bounds efficiency on this box (and why a cluster does better)
 
