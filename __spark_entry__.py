@@ -250,28 +250,69 @@ def q_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots prefix filter (engine feature, default-off to match the
-    reference's ROBOTSTXT_OBEY=False): hosts with host_id%4==3 disallow
-    /private; rows with seq%5==0 live under /private."""
+    """robots chain end-to-end (round 3: raw robots.txt TEXT -> parsed
+    rules -> policy overlay -> decisions). Hosts with host_id%4==3
+    publish a robots.txt whose star group disallows /private, allows
+    /private/open, and sets Crawl-delay host_id%3+1 (a decoy group for
+    another agent must be skipped). Rows seq%5==0 live under /private/,
+    rows seq%7==0 (not %5) under /private/open/. Outputs both decision
+    surfaces: robots_allowed (operators/robots.robots_check — RFC 9309
+    longest-match, allow wins ties) and kept (the engine's conservative
+    prefix-only politeness.robots_filter over the merged policy), plus
+    the merged crawl delay."""
+    from spider_spark.operators import robots as R
+
     fr = _frontier(spark, sf_dir)
     fr = fr.withColumn(
         "canonical_url",
         F.when(
             F.col("seq") % 5 == 0,
             F.concat(F.lit("http://"), F.col("host"), F.lit("/private/"), F.col("seq")),
-        ).otherwise(F.col("canonical_url")),
+        )
+        .when(
+            F.col("seq") % 7 == 0,
+            F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/private/open/"), F.col("seq")
+            ),
+        )
+        .otherwise(F.col("canonical_url")),
     )
     hosts = fr.select("host", "host_id").distinct()
+    robots_txt = F.when(
+        F.col("host_id") % 4 == 3,
+        F.concat(
+            F.lit(
+                "# synthetic\nUser-agent: otherbot\nDisallow: /decoy\n\n"
+                "User-agent: *\nDisallow: /private\nAllow: /private/open\n"
+                "Crawl-delay: "
+            ),
+            (F.col("host_id") % 3 + 1).cast("string"),
+        ),
+    )
+    parsed = R.parse_robots_texts(hosts.select("host", robots_txt.alias("robots_txt")))
     policy = hosts.select(
         "host",
         F.lit(0.1).alias("crawl_delay_s"),
         F.lit(16).alias("max_concurrency"),
-        F.when(F.col("host_id") % 4 == 3, F.array(F.lit("/private")))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("robots_disallow"),
+        F.array().cast("array<string>").alias("robots_disallow"),
     )
-    out = P.robots_filter(fr, policy, obey=True)
-    return out.select("seq", "host", "canonical_url")
+    merged = R.merge_into_policy(policy, parsed)
+    checked = R.robots_check(fr, parsed)
+    kept = P.robots_filter(fr, merged, obey=True).select(
+        "seq", F.lit(True).alias("kept")
+    )
+    return (
+        checked.join(kept, "seq", "left")
+        .join(merged.select("host", "crawl_delay_s"), "host")
+        .select(
+            "seq",
+            "host",
+            "canonical_url",
+            "robots_allowed",
+            F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+            "crawl_delay_s",
+        )
+    )
 
 
 def q_span_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1901,10 +1942,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT seq, host, host_id,
                        CASE WHEN seq % 5 = 0
                             THEN 'http://' || host || '/private/' || seq
+                            WHEN seq % 7 = 0
+                            THEN 'http://' || host || '/private/open/' || seq
                             ELSE canonical_url END AS canonical_url
                 FROM ({_FRONTIER_SQL}))
-            SELECT seq, host, canonical_url FROM fr
-            WHERE NOT (host_id % 4 = 3 AND seq % 5 = 0)
+            SELECT seq, host, canonical_url,
+                   NOT (host_id % 4 = 3 AND seq % 5 = 0) AS robots_allowed,
+                   NOT (host_id % 4 = 3
+                        AND (seq % 5 = 0 OR seq % 7 = 0)) AS kept,
+                   CASE WHEN host_id % 4 = 3
+                        THEN CAST(host_id % 3 + 1 AS DOUBLE)
+                        ELSE 0.1 END AS crawl_delay_s
+            FROM fr
         """,
         "span_media_dedup": f"""
             WITH toks AS (

@@ -88,6 +88,7 @@ class CrawlEngine:
         link_rules: DataFrame | None = None,
         offsite_rules: DataFrame | None = None,
         host_ranks: DataFrame | None = None,
+        robots_texts: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -107,6 +108,17 @@ class CrawlEngine:
         #: ordering"). Ranked hosts get their rank as the dispatch
         #: priority; unranked hosts keep the request's static priority.
         self.host_ranks = host_ranks
+        if robots_texts is not None:
+            # raw robots.txt bodies (host, robots_txt) -> parsed rules
+            # overlaid onto the policy dim: the host's own Crawl-delay
+            # and Disallow prefixes replace the static configuration
+            # (operators/robots, RFC 9309 subset). Parsed once here —
+            # it's a host dim, not per-URL work.
+            from ..operators import robots as R
+
+            self.policy = R.merge_into_policy(
+                self.policy, R.parse_robots_texts(robots_texts)
+            )
         self.bloom_spec = D.BloomSpec(self.cfg.bloom_capacity, self.cfg.bloom_fpr)
 
     def close(self) -> None:

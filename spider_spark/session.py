@@ -37,7 +37,16 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    shuffle_parts = max(8, cpus * SHUFFLE_PARTITIONS_PER_CORE)
+    # explicit override: on a real cluster shuffle partitions are sized
+    # by DATA (so each partition's sort fits in task memory), not by
+    # core count — the scaling study pins this equal across its two
+    # parallelism configs so partition-size effects (spill on the
+    # smaller config) don't masquerade as scaling behavior
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if shuffle_env:
+        shuffle_parts = int(shuffle_env)
+    else:
+        shuffle_parts = max(8, cpus * SHUFFLE_PARTITIONS_PER_CORE)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

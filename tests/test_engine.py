@@ -587,3 +587,44 @@ def test_host_ranks_boost_dispatch_order(spark, tmp_path):
     m = eng2.metrics()
     assert m.count() > 0
     eng2.close()
+
+
+def test_robots_texts_equal_static_rules(spark, tmp_path):
+    """Feeding raw robots.txt bodies (CrawlEngine(robots_texts=...))
+    must produce the same crawl as the statically configured disallow
+    rules it encodes: parse -> merge_into_policy -> robots_filter is
+    the same decision surface."""
+    spec = WebSpec(seed=5, n_hosts=4, pages_per_host=2, details_per_page=2)
+    pol = host_policy_df(spark, spec)
+    cfg = dict(crawl_id="t", n_buckets=8, max_waves=30, obey_robots=True)
+
+    store_a = SnapshotStore(spark, str(tmp_path / "a"))
+    eng_a = CrawlEngine(
+        spark, web_df(spark, spec), pol, store_a, CrawlConfig(**cfg)
+    )
+    ta = eng_a.run(seeds_df(spark, spec))
+
+    texts = pol.filter(F.size("robots_disallow") > 0).select(
+        "host",
+        F.concat(
+            F.lit("# synthetic\nUser-agent: *\nDisallow: "),
+            F.element_at("robots_disallow", 1),
+            F.lit("\nCrawl-delay: "),
+            F.col("crawl_delay_s").cast("string"),
+        ).alias("robots_txt"),
+    )
+    stripped = pol.withColumn(
+        "robots_disallow", F.array().cast("array<string>")
+    )
+    store_b = SnapshotStore(spark, str(tmp_path / "b"))
+    eng_b = CrawlEngine(
+        spark, web_df(spark, spec), stripped, store_b, CrawlConfig(**cfg),
+        robots_texts=texts,
+    )
+    tb = eng_b.run(seeds_df(spark, spec))
+
+    assert ta == tb
+    seen_a = {r["fingerprint"] for r in eng_a.url_seen().collect()}
+    seen_b = {r["fingerprint"] for r in eng_b.url_seen().collect()}
+    assert seen_a == seen_b
+    eng_a.close(); eng_b.close()

@@ -1496,3 +1496,92 @@ def test_main_content_pages_batch(spark):
     )
     got = {r["url"]: r["main_text"] for r in main_content_pages(pages).collect()}
     assert got == {"u1": "body text here", "u2": ""}
+
+
+def test_parse_robots_vectors():
+    """RFC 9309-subset robots parser, hand vectors: group selection
+    (exact beats *, multi-agent groups, group merge), comments, empty
+    Disallow, Crawl-delay min + bad values, wildcard truncation,
+    pre-group rules ignored, missing text = allow-all."""
+    from spider_spark.operators.robots import parse_robots as P
+
+    txt = (
+        "# policy\n"
+        "User-agent: Googlebot\nDisallow: /g-only\n\n"
+        "User-agent: spiderbot\nUser-agent: otherbot\n"
+        "Disallow: /private\nAllow: /private/ok\n"
+        "Crawl-delay: 2.5\nCrawl-delay: 1.5\n\n"
+        "User-agent: *\nDisallow: /all\nDisallow:\nCrawl-delay: 9\n"
+    )
+    assert P(txt, "SpiderBot") == {
+        "disallow": ["/private"], "allow": ["/private/ok"], "crawl_delay": 1.5,
+    }
+    assert P(txt, "unknown") == {
+        "disallow": ["/all"], "allow": [], "crawl_delay": 9.0,
+    }
+    assert P(None) == {"disallow": [], "allow": [], "crawl_delay": None}
+    assert P("") == {"disallow": [], "allow": [], "crawl_delay": None}
+    w = P("User-agent: *\nDisallow: /a*b\nAllow: /x$\nDisallow: *")
+    assert w == {"disallow": ["/a"], "allow": ["/x"], "crawl_delay": None}
+    assert P("Disallow: /orphan\nUser-agent: *\nDisallow: /ok")["disallow"] == ["/ok"]
+    assert P("User-agent: *\nCrawl-delay: fast")["crawl_delay"] is None
+    # two groups naming the same agent MERGE (RFC 9309 2.2.1)
+    m = P("User-agent: a\nDisallow: /1\n\nUser-agent: a\nDisallow: /2", "a")
+    assert m["disallow"] == ["/1", "/2"]
+
+
+def test_robots_check_longest_match(spark):
+    """robots_check: longest prefix wins, allow wins ties, no match or
+    no rules = allowed; merge_into_policy overlays delay + disallow."""
+    from pyspark.sql import functions as F
+
+    from spider_spark.operators.robots import (
+        merge_into_policy,
+        parse_robots_texts,
+        robots_check,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("h1", "User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 3"),
+            ("h2", None),
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = parse_robots_texts(robots)
+    p = {r["host"]: r.asDict() for r in parsed.collect()}
+    assert p["h1"]["robots_disallow"] == ["/private"]
+    assert p["h1"]["crawl_delay_s"] == 3.0
+    assert p["h2"]["robots_disallow"] == []
+
+    urls = spark.createDataFrame(
+        [
+            ("h1", "http://h1/private/x"),       # blocked (disallow 8 > -1)
+            ("h1", "http://h1/private/ok/page"), # allowed (allow 11 > 8)
+            ("h1", "http://h1/public"),          # allowed (no match)
+            ("h3", "http://h3/anything"),        # allowed (no rules row)
+        ],
+        "host string, canonical_url string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_allowed"]
+        for r in robots_check(urls, parsed).collect()
+    }
+    assert got == {
+        "http://h1/private/x": False,
+        "http://h1/private/ok/page": True,
+        "http://h1/public": True,
+        "http://h3/anything": True,
+    }
+
+    policy = spark.createDataFrame(
+        [("h1", 16, 0.1, []), ("h9", 16, 0.1, ["/keep"])],
+        "host string, max_concurrency int, crawl_delay_s double, "
+        "robots_disallow array<string>",
+    )
+    merged = {r["host"]: r.asDict() for r in merge_into_policy(policy, parsed).collect()}
+    assert merged["h1"]["crawl_delay_s"] == 3.0
+    assert merged["h1"]["robots_disallow"] == ["/private"]
+    assert merged["h9"]["crawl_delay_s"] == 0.1
+    assert merged["h9"]["robots_disallow"] == ["/keep"]
+    assert list(merged["h1"].keys()) == list(merged["h9"].keys())

@@ -25,17 +25,35 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_at(cpus: int, n: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py"), "--frontier-only",
-         "--cpus", str(cpus), "--n", str(n)],
-        capture_output=True, text=True, timeout=1800, check=True,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_at(cpus: int, n: int, retries: int = 1) -> dict:
+    # both configs run the SAME shuffle partitioning (sized by data,
+    # the way a cluster sets it) so per-partition sort-memory effects
+    # cancel out of the lo/hi comparison
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS": os.environ.get("SCALE_SHUFFLE", "64"),
+    }
+    for attempt in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--frontier-only",
+             "--cpus", str(cpus), "--n", str(n)],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        if out.returncode == 0:
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            return json.loads(line)
+        sys.stderr.write(
+            f"bench run (cpus={cpus}, attempt {attempt}) failed rc="
+            f"{out.returncode}\nstderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-25:])
+            + "\n"
+        )
+    raise RuntimeError(f"bench run failed after {retries + 1} attempts")
 
 
-def cpu_probe(procs: int, spins: int = 40_000_000) -> float:
+def cpu_probe(procs: int, spins: int = 100_000_000) -> float:
     """Wall time for `procs` independent busy Python processes doing a
     fixed spin each — measures the box's raw core scaling (SMT ceiling)
     with zero Spark involvement. Re-measured per report so the numbers
@@ -68,8 +86,8 @@ def main():
     # show (t_lo/t_hi)/(hi/lo) = 1. The ceiling for the lo->hi
     # comparison is t_probe(lo)/t_probe(hi). Measured before AND after
     # the Spark runs (median of the two) so box drift is visible.
-    probe_lo_runs = [cpu_probe(lo)]
-    probe_hi_runs = [cpu_probe(hi)]
+    probe_lo_runs = [cpu_probe(lo), cpu_probe(lo)]
+    probe_hi_runs = [cpu_probe(hi), cpu_probe(hi)]
 
     runs_lo, runs_hi = [], []
     for _ in range(reps):  # interleave lo/hi so box drift hits both equally
@@ -79,7 +97,10 @@ def main():
     probe_hi_runs.append(cpu_probe(hi))
     probe_lo = statistics.median(probe_lo_runs)
     probe_hi = statistics.median(probe_hi_runs)
-    ceiling = probe_lo / probe_hi  # <=1; per-core speed ratio hi vs lo
+    # per-core speed ratio hi-occupancy vs lo-occupancy; a measured
+    # value >= 1 means no detectable degradation (probe noise) and the
+    # normalization must then be a NO-OP, never a boost
+    ceiling = min(1.0, probe_lo / probe_hi)
     t_lo_all = sorted(r["queries"]["frontier_wave"] for r in runs_lo)
     t_hi_all = sorted(r["queries"]["frontier_wave"] for r in runs_hi)
     t_lo = statistics.median(t_lo_all)
