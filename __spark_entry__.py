@@ -255,11 +255,17 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish a robots.txt whose star group disallows /private, allows
     /private/open, and sets Crawl-delay host_id%3+1 (a decoy group for
     another agent must be skipped). Rows seq%5==0 live under /private/,
-    rows seq%7==0 (not %5) under /private/open/. Outputs both decision
-    surfaces: robots_allowed (operators/robots.robots_check — RFC 9309
-    longest-match, allow wins ties) and kept (the engine's conservative
-    prefix-only politeness.robots_filter over the merged policy), plus
-    the merged crawl delay."""
+    rows seq%7==0 (not %5) under /private/open/. Round 4 additionally
+    pins the polite wildcard semantics and RFC 9309 empty-path
+    handling: ``Disallow: /tmp*x`` truncates to /tmp (blocks
+    /tmp-cache rows, seq%11), ``Allow: /private/w*ld`` is DROPPED not
+    truncated (so /private/wild rows, seq%13, stay blocked — a
+    truncated allow would win longest-match and over-allow), and
+    path-less URLs (seq%17) resolve to '/' (allowed here). Outputs both
+    decision surfaces: robots_allowed (operators/robots.robots_check —
+    RFC 9309 longest-match, allow wins ties) and kept (the engine's
+    conservative prefix-only politeness.robots_filter over the merged
+    policy), plus the merged crawl delay."""
     from spider_spark.operators import robots as R
 
     fr = _frontier(spark, sf_dir)
@@ -275,6 +281,22 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("http://"), F.col("host"), F.lit("/private/open/"), F.col("seq")
             ),
         )
+        .when(
+            F.col("seq") % 11 == 0,
+            F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/tmp-cache/"), F.col("seq")
+            ),
+        )
+        .when(
+            F.col("seq") % 13 == 0,
+            F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/private/wild/"), F.col("seq")
+            ),
+        )
+        .when(
+            F.col("seq") % 17 == 0,
+            F.concat(F.lit("http://"), F.col("host")),
+        )
         .otherwise(F.col("canonical_url")),
     )
     hosts = fr.select("host", "host_id").distinct()
@@ -284,6 +306,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(
                 "# synthetic\nUser-agent: otherbot\nDisallow: /decoy\n\n"
                 "User-agent: *\nDisallow: /private\nAllow: /private/open\n"
+                "Allow: /private/w*ld\nDisallow: /tmp*x\n"
                 "Crawl-delay: "
             ),
             (F.col("host_id") % 3 + 1).cast("string"),
@@ -904,13 +927,23 @@ def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("stable")).alias("content_digest"),
     )
     out = RV.change_rate_schedule(hist)
+    # Hash-stable float handling (round-4 fix for the driver's exact
+    # value hash): quantize ONCE with floor(x*scale + 0.5) into BIGINT
+    # units. floor and * are pure IEEE double ops — bit-identical in
+    # Spark and DuckDB given the same inputs — unlike stacked round()
+    # whose decimal re-quantization differs at the ulp between JVM
+    # BigDecimal and libm-based engines. Margin-audited by
+    # tools/audit_float_margins.py (distance to the nearest floor
+    # boundary >> accumulated ln/div ulp error).
     return out.select(
         "url",
         "n_fetches",
         "n_changes",
-        F.round(F.col("lambda_per_s") * 86400, 4).alias("lambda_per_day"),
-        "revisit_interval_s",
-        "next_due_s",
+        F.floor(F.col("lambda_per_s") * 86400.0 * 10000.0 + 0.5).alias(
+            "lambda_per_day_e4"
+        ),
+        F.floor(F.col("revisit_interval_s") + 0.5).alias("revisit_interval_s"),
+        F.floor(F.col("next_due_s") + 0.5).alias("next_due_s"),
     )
 
 
@@ -1944,12 +1977,25 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'http://' || host || '/private/' || seq
                             WHEN seq % 7 = 0
                             THEN 'http://' || host || '/private/open/' || seq
-                            ELSE canonical_url END AS canonical_url
+                            WHEN seq % 11 = 0
+                            THEN 'http://' || host || '/tmp-cache/' || seq
+                            WHEN seq % 13 = 0
+                            THEN 'http://' || host || '/private/wild/' || seq
+                            WHEN seq % 17 = 0
+                            THEN 'http://' || host
+                            ELSE canonical_url END AS canonical_url,
+                       CASE WHEN seq % 5 = 0 THEN 'p'
+                            WHEN seq % 7 = 0 THEN 'o'
+                            WHEN seq % 11 = 0 THEN 't'
+                            WHEN seq % 13 = 0 THEN 'w'
+                            WHEN seq % 17 = 0 THEN 'r'
+                            ELSE 'n' END AS cat
                 FROM ({_FRONTIER_SQL}))
             SELECT seq, host, canonical_url,
-                   NOT (host_id % 4 = 3 AND seq % 5 = 0) AS robots_allowed,
+                   NOT (host_id % 4 = 3 AND cat IN ('p','t','w'))
+                       AS robots_allowed,
                    NOT (host_id % 4 = 3
-                        AND (seq % 5 = 0 OR seq % 7 = 0)) AS kept,
+                        AND cat IN ('p','o','t','w')) AS kept,
                    CASE WHEN host_id % 4 = 3
                         THEN CAST(host_id % 3 + 1 AS DOUBLE)
                         ELSE 0.1 END AS crawl_delay_s
@@ -2287,8 +2333,9 @@ def oracle_sql() -> dict[str, str]:
                          lag(d) OVER (PARTITION BY url ORDER BY t) AS pd
                   FROM h),
             a AS (SELECT url, count(*) AS n_fetches,
-                         sum(CASE WHEN pd IS NOT NULL AND d <> pd
-                                  THEN 1 ELSE 0 END) AS n_changes,
+                         CAST(sum(CASE WHEN pd IS NOT NULL AND d <> pd
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_changes,
                          max(t) AS last_t,
                          (max(t) - min(t))
                              / greatest(count(*) - 1, 1) AS mi
@@ -2310,9 +2357,14 @@ def oracle_sql() -> dict[str, str]:
                          END AS iv
                   FROM l)
             SELECT url, n_fetches, n_changes,
-                   round(round(lam, 10) * 86400, 4) AS lambda_per_day,
-                   round(iv, 4) AS revisit_interval_s,
-                   round(last_t + iv, 4) AS next_due_s
+                   CAST(floor(lam * CAST(86400 AS DOUBLE)
+                              * CAST(10000 AS DOUBLE)
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       AS lambda_per_day_e4,
+                   CAST(floor(iv + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       AS revisit_interval_s,
+                   CAST(floor(last_t + iv + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       AS next_due_s
             FROM c
         """,
         "minhash_signature": f"""

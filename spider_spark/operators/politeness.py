@@ -95,7 +95,12 @@ def robots_filter(frontier: DataFrame, host_policy: DataFrame, obey: bool) -> Da
         return frontier
     rules = host_policy.select("host", "robots_disallow")
     joined = frontier.join(F.broadcast(rules), on="host", how="left")
-    path = F.regexp_extract(F.col("canonical_url"), r"^[a-z0-9+.-]+://[^/]*(/.*)$", 1)
+    # Empty path (http://host) means '/' per RFC 9309, so 'Disallow: /'
+    # must block the root URL too (round-4 fix, mirrors robots_check).
+    raw_path = F.regexp_extract(
+        F.col("canonical_url"), r"^[a-z0-9+.-]+://[^/]*(/.*)$", 1
+    )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     blocked = F.exists(
         F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
         lambda p: path.startswith(p),

@@ -91,13 +91,19 @@ def change_rate_schedule(
             ),
         )
     )
+    # Emitted at full double precision: the engine consumes next_due_s
+    # in comparisons (precision-insensitive) and contract queries
+    # quantize ONCE at the edge (floor(x*scale + 0.5) into integer
+    # units — pure IEEE arithmetic, bit-identical across engines),
+    # instead of stacking round() calls whose decimal re-quantization
+    # differs between JVM BigDecimal and other engines' libm at the ulp.
     return agg.select(
         "url",
         "n_fetches",
         "n_changes",
-        F.round(lam, 10).alias("lambda_per_s"),
-        F.round(interval, 4).alias("revisit_interval_s"),
-        F.round(F.col("last_t") + interval, 4).alias("next_due_s"),
+        lam.alias("lambda_per_s"),
+        interval.alias("revisit_interval_s"),
+        (F.col("last_t") + interval).alias("next_due_s"),
     )
 
 

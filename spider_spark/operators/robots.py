@@ -19,11 +19,13 @@ express:
   ``Disallow:`` means allow-all and adds no rule;
 * ``Crawl-delay`` (non-standard, widely honored) parsed as seconds;
   smallest value wins if repeated;
-* wildcard rules are CONSERVATIVELY truncated to the literal prefix
-  before the first ``*`` (and a trailing ``$`` is dropped): a
+* wildcard DISALLOW rules are CONSERVATIVELY truncated to the literal
+  prefix before the first ``*`` (and a trailing ``$`` is dropped): a
   disallow that blocks a superset of the RFC wildcard meaning errs
-  polite. Documented approximation — full wildcards need per-rule
-  regexes, which would push the hot check out of the JVM.
+  polite. Wildcard ALLOW rules are DROPPED (truncation would broaden
+  the allow — the impolite direction). Documented approximation —
+  full wildcards need per-rule regexes, which would push the hot
+  check out of the JVM.
 
 Decision semantics (:func:`robots_check`): longest matching prefix
 wins; on a tie allow wins; no match = allowed (RFC 9309 §2.2.2). The
@@ -41,15 +43,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _clean_rule(value: str) -> str | None:
-    """Normalize one Allow/Disallow value to a literal prefix
-    (wildcard-truncating, see module docstring). None = no rule."""
+def _clean_rule(value: str, kind: str) -> str | None:
+    """Normalize one Allow/Disallow value to a literal prefix.
+    None = no rule.
+
+    Wildcard handling is direction-aware so the approximation always
+    errs POLITE (round-4 fix): truncating ``Disallow: /a*/b`` to
+    ``/a`` blocks a superset — conservative. Truncating an ALLOW the
+    same way would *broaden* the allow (``Allow: /private/x*/y`` ->
+    ``/private/x`` would un-block URLs the robots.txt disallows), so
+    wildcarded Allow rules are DROPPED instead: fewer allows can only
+    make the decision stricter, never looser."""
     if not value:
         return None
     if value.endswith("$"):
         value = value[:-1]
     star = value.find("*")
     if star >= 0:
+        if kind == "allow":
+            return None
         value = value[:star]
     return value or None
 
@@ -88,7 +100,7 @@ def parse_robots(text: str | None, agent: str = "*") -> dict:
         if current is None:
             continue  # rules before any User-agent line are ignored
         if field in ("disallow", "allow"):
-            rule = _clean_rule(value)
+            rule = _clean_rule(value, field)
             if rule is not None:
                 current[field].append(rule)
         elif field == "crawl-delay":
@@ -176,7 +188,11 @@ def robots_check(
     The rules dim broadcasts; the per-URL work is two array HOFs
     (filter + max of matched-prefix lengths) — whole-stage JVM, no
     Python, no shuffle beyond the broadcast."""
-    path = F.regexp_extract(F.col(url_col), r"^[a-z0-9+.-]+://[^/]*(/.*)$", 1)
+    # RFC 9309 treats a URL with no path component (http://host) as
+    # requesting '/' — coalesce the empty extract so 'Disallow: /'
+    # matches the root URL (round-4 fix).
+    raw_path = F.regexp_extract(F.col(url_col), r"^[a-z0-9+.-]+://[^/]*(/.*)$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     rules = parsed.select(
         F.col("host").alias("_rhost"), "robots_disallow", "robots_allow"
     )

@@ -89,6 +89,7 @@ class CrawlEngine:
         offsite_rules: DataFrame | None = None,
         host_ranks: DataFrame | None = None,
         robots_texts: DataFrame | None = None,
+        status_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -102,6 +103,12 @@ class CrawlEngine:
         #: optional OffsiteMiddleware dim (source, allowed_domains) —
         #: sources/registry.offsite_rules_df (1,249 reference spiders)
         self.offsite_rules = offsite_rules
+        #: optional handle_httpstatus_list dim (source,
+        #: handle_httpstatus array<int>) — sources/registry
+        #: .status_rules_df (17 reference spiders,
+        #: alexandergreens_co_uk.py:31): listed statuses reach parse
+        #: and never retry
+        self.status_rules = status_rules
         #: optional link-authority dim (host, priority) — typically
         #: graphrank.rank_priorities over graphrank.host_graph of a
         #: PREVIOUS crawl's frontier (Cho et al. WWW'98 "crawl by URL
@@ -211,8 +218,19 @@ class CrawlEngine:
                 cand = cand.withColumn("wave", F.lit(wave))
                 admitted, recorded = self._admit(cand, wave)
                 self.store.write_wave("url_seen", wave, recorded)
+                # Injected rows carry dont_filter=True (recrawl
+                # semantics) so _admit's seen-set check waves them
+                # through — but a URL can be BOTH still pending (e.g.
+                # deferred at max_waves) and due for recrawl, and
+                # unioning it twice dispatches it twice in one
+                # generation. Anti-join against the pending frontier on
+                # fingerprint (round-4 fix; one narrow shuffle of the
+                # fingerprint projection, once per injection).
+                fresh = admitted.join(
+                    pending.select("fingerprint"), on="fingerprint", how="left_anti"
+                )
                 merged = pending.unionByName(
-                    admitted.select(*pending.columns)
+                    fresh.select(*pending.columns)
                 ).persist()
                 next_base = max(next_base, _max_seq(merged))
                 self.store.write_wave("frontier", wave, merged)
@@ -258,12 +276,33 @@ class CrawlEngine:
                 obey_robots=cfg.obey_robots,
             )
             dispatch = dispatch.withColumn("wave", F.lit(wave))
-            fetched = fetch_synthetic(dispatch, self.web).persist()
+            fetched = fetch_synthetic(dispatch, self.web)
+            # parse gate: 200, or a status the source's
+            # handle_httpstatus_list explicitly admits (Scrapy analog,
+            # 17 reference spiders e.g. alexandergreens_co_uk.py:31
+            # [401]); admitted statuses are terminal — never retried.
+            if self.status_rules is not None:
+                fetched = fetched.join(
+                    F.broadcast(self.status_rules), on="source", how="left"
+                )
+                parse_ok = (F.col("status") == 200) | F.array_contains(
+                    F.coalesce(
+                        F.col("handle_httpstatus"), F.array().cast("array<int>")
+                    ),
+                    F.col("status"),
+                )
+                fetched = fetched.withColumn("_parse_ok", parse_ok).drop(
+                    "handle_httpstatus"
+                )
+            else:
+                fetched = fetched.withColumn("_parse_ok", F.col("status") == 200)
+            fetched = fetched.persist()
 
-            ok = fetched.filter(F.col("status") == 200)
+            ok = fetched.filter(F.col("_parse_ok")).drop("_parse_ok")
             retry = (
                 fetched.filter(
                     F.col("status").isin(schemas.RETRY_HTTP_CODES)
+                    & ~F.col("_parse_ok")
                     & (F.col("attempt") < cfg.retry_times)
                 )
                 .select(*schemas_frontier_cols(fetched))
@@ -329,7 +368,7 @@ class CrawlEngine:
                 F.count("*").alias("n"),
                 F.sum(
                     (
-                        (F.col("status") == 200)
+                        F.col("_parse_ok")
                         & ~F.col("is_listing_page")
                         & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
                     ).cast("long")
@@ -379,7 +418,7 @@ class CrawlEngine:
                     fetched.groupBy("crawl_id", "host_bucket")
                     .agg(
                         F.count("*").alias("fetched"),
-                        F.sum((F.col("status") != 200).cast("long")).alias("retried"),
+                        F.sum((~F.col("_parse_ok")).cast("long")).alias("retried"),
                     )
                     .withColumn("wave", F.lit(wave))
                     .withColumn("candidates", F.lit(n_admitted).cast("long"))

@@ -70,6 +70,14 @@ class SiteSpec:
     #: seed rows and are expanded pre-wave-0 by
     #: sources.sitemap.expand_sitemap_seeds (they match *.xml)
     sitemap_urls: list[str] = field(default_factory=list)
+    #: ``handle_httpstatus_list`` analog (17 reference spiders declare
+    #: non-200 statuses whose responses still reach parse —
+    #: ``alexandergreens_co_uk.py:31`` ``[401]``,
+    #: ``allagents_co_uk.py:18`` ``[500, 400]``). Statuses listed here
+    #: pass the engine's parse gate AND are excluded from retry (Scrapy
+    #: semantics: an allowed status is a terminal response, not an
+    #: error).
+    handle_httpstatus_list: list[int] = field(default_factory=list)
     fields: list[FieldSpec] = field(default_factory=list)
 
 
@@ -158,6 +166,16 @@ def link_rules_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = No
     rows = [(s.source, s.link_allow, s.link_deny) for s in reg.values()]
     return spark.createDataFrame(
         rows, "source string, link_allow string, link_deny string"
+    )
+
+
+def status_rules_df(spark: SparkSession, registry: dict[str, SiteSpec] | None = None) -> DataFrame:
+    """Per-source ``handle_httpstatus_list`` dim for the engine's parse
+    gate (broadcast; one row per source, empty array = 200-only)."""
+    reg = registry if registry is not None else REGISTRY
+    rows = [(s.source, list(s.handle_httpstatus_list)) for s in reg.values()]
+    return spark.createDataFrame(
+        rows, "source string, handle_httpstatus array<int>"
     )
 
 

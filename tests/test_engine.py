@@ -628,3 +628,91 @@ def test_robots_texts_equal_static_rules(spark, tmp_path):
     seen_b = {r["fingerprint"] for r in eng_b.url_seen().collect()}
     assert seen_a == seen_b
     eng_a.close(); eng_b.close()
+
+
+def test_handle_httpstatus_list(spark, tmp_path):
+    """handle_httpstatus_list analog (17 reference spiders, e.g.
+    alexandergreens_co_uk.py:31 [401], allagents_co_uk.py:18
+    [500, 400]): a source listing a non-200 status parses that
+    response (docs emitted) and the status never retries; an identical
+    source WITHOUT the allowance gets the old behavior (401 -> retry
+    path only, no docs)."""
+    span = [("text", "guarded content", None, 0)]
+    web = spark.createDataFrame(
+        [
+            ("http://h1/a", "h1", 401, [], span, False),
+            ("http://h2/a", "h2", 401, [], span, False),
+        ],
+        schemas.WEB_PAGES,
+    )
+    policy = spark.createDataFrame(
+        [("h1", 0.1, 16, []), ("h2", 0.1, 16, [])], schemas.HOST_POLICY
+    )
+    seeds = spark.createDataFrame(
+        [
+            ("http://h1/a", "s_allow", {}, 0),
+            ("http://h2/a", "s_plain", {}, 0),
+        ],
+        schemas.SEEDS,
+    )
+    from spider_spark.sources.registry import SiteSpec, status_rules_df
+
+    reg = {
+        "s_allow": SiteSpec(
+            source="s_allow", seeds=[], handle_httpstatus_list=[401]
+        ),
+        "s_plain": SiteSpec(source="s_plain", seeds=[]),
+    }
+    store = SnapshotStore(spark, str(tmp_path / "hs"))
+    cfg = CrawlConfig(crawl_id="t", n_buckets=4, max_waves=8, retry_times=2)
+    eng = CrawlEngine(
+        spark, web, policy, store, cfg, status_rules=status_rules_df(spark, reg)
+    )
+    eng.run(seeds)
+    docs = eng.documents().select("source").collect()
+    assert {r["source"] for r in docs} == {"s_allow"}
+    # the allowed 401 is terminal: exactly one fetch of h1/a across all
+    # waves; the plain 401 retried (attempt rows climb to retry_times)
+    frontier = store.read_table("frontier", "append", schema=schemas.FRONTIER)
+    h1_attempts = frontier.filter(F.col("url") == "http://h1/a").agg(
+        F.max("attempt")
+    ).collect()[0][0]
+    h2_attempts = frontier.filter(F.col("url") == "http://h2/a").agg(
+        F.max("attempt")
+    ).collect()[0][0]
+    assert h1_attempts == 0
+    assert h2_attempts == cfg.retry_times
+    eng.close()
+
+
+def test_inject_dedup_against_pending(spark, tmp_path):
+    """A URL that is both still PENDING (deferred at max_waves) and
+    injected for recrawl must appear once in the merged frontier, not
+    twice — injected dont_filter rows bypass the seen set, so the
+    union must anti-join against pending (round-4 fix)."""
+    spec = WebSpec(seed=11, n_hosts=3, pages_per_host=3, details_per_page=3)
+    store = SnapshotStore(spark, str(tmp_path / "inj"))
+    cfg = CrawlConfig(crawl_id="t", n_buckets=8, max_waves=1)
+    eng = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg)
+    eng.run(seeds_df(spark, spec))
+    pending = store.read_table("frontier", "latest", schema=schemas.FRONTIER)
+    assert pending.count() > 0  # crawl cut short: frontier non-empty
+    one = pending.limit(1).collect()[0]
+
+    inject = spark.createDataFrame(
+        [(one["url"], one["source"], {}, 0, True)],
+        "url string, source string, meta map<string,string>, "
+        "priority int, dont_filter boolean",
+    )
+    eng2 = CrawlEngine(
+        spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg
+    )
+    eng2.run(inject, resume=True, inject=True)
+    merged = store.read_table("frontier", "latest", schema=schemas.FRONTIER)
+    dupes = (
+        merged.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    # and the injected fingerprint is still there exactly once
+    assert merged.filter(F.col("fingerprint") == one["fingerprint"]).count() == 1
+    eng.close(); eng2.close()

@@ -1523,6 +1523,12 @@ def test_parse_robots_vectors():
     assert P("") == {"disallow": [], "allow": [], "crawl_delay": None}
     w = P("User-agent: *\nDisallow: /a*b\nAllow: /x$\nDisallow: *")
     assert w == {"disallow": ["/a"], "allow": ["/x"], "crawl_delay": None}
+    # round 4: wildcarded ALLOW is dropped, not truncated — truncating
+    # '/private/x*/y' to '/private/x' would BROADEN the allow (beat the
+    # '/private' disallow on longest-match) and over-allow; dropping
+    # can only make the decision stricter.
+    wa = P("User-agent: *\nDisallow: /private\nAllow: /private/x*/y")
+    assert wa == {"disallow": ["/private"], "allow": [], "crawl_delay": None}
     assert P("Disallow: /orphan\nUser-agent: *\nDisallow: /ok")["disallow"] == ["/ok"]
     assert P("User-agent: *\nCrawl-delay: fast")["crawl_delay"] is None
     # two groups naming the same agent MERGE (RFC 9309 2.2.1)
@@ -1560,6 +1566,7 @@ def test_robots_check_longest_match(spark):
             ("h1", "http://h1/private/ok/page"), # allowed (allow 11 > 8)
             ("h1", "http://h1/public"),          # allowed (no match)
             ("h3", "http://h3/anything"),        # allowed (no rules row)
+            ("h1", "http://h1"),                 # no path -> '/' (allowed here)
         ],
         "host string, canonical_url string",
     )
@@ -1572,7 +1579,37 @@ def test_robots_check_longest_match(spark):
         "http://h1/private/ok/page": True,
         "http://h1/public": True,
         "http://h3/anything": True,
+        "http://h1": True,
     }
+
+    # round 4 (RFC 9309 empty path = '/'): a path-less URL must match
+    # 'Disallow: /' — previously the empty extract matched nothing and
+    # the root URL was always allowed.
+    root_rules = parse_robots_texts(
+        spark.createDataFrame(
+            [("hr", "User-agent: *\nDisallow: /")],
+            "host string, robots_txt string",
+        )
+    )
+    root_urls = spark.createDataFrame(
+        [("hr", "http://hr"), ("hr", "http://hr/page")],
+        "host string, canonical_url string",
+    )
+    got_root = {
+        r["canonical_url"]: r["robots_allowed"]
+        for r in robots_check(root_urls, root_rules).collect()
+    }
+    assert got_root == {"http://hr": False, "http://hr/page": False}
+
+    # same fix in the engine-side politeness.robots_filter
+    from spider_spark.operators.politeness import robots_filter
+
+    pol = spark.createDataFrame(
+        [("hr", ["/"], 0.1, 16)],
+        "host string, robots_disallow array<string>, crawl_delay_s double, "
+        "max_concurrency int",
+    )
+    assert robots_filter(root_urls, pol, obey=True).count() == 0
 
     policy = spark.createDataFrame(
         [("h1", 16, 0.1, []), ("h9", 16, 0.1, ["/keep"])],

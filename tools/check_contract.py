@@ -19,14 +19,23 @@ import pandas as pd  # noqa: E402
 
 
 def norm_cell(v):
+    """EXACT cell normalization (round-4 fix).
+
+    The round-3 version re-rounded floats to 4dp and collapsed
+    integral floats — strictly WEAKER than the driver's value hash, so
+    it passed `revisit` locally while the driver failed it. Exact
+    float representation (shortest round-trip repr) is strictly
+    STRONGER than any deterministic driver normalization: if the local
+    hash matches, the underlying values are bit-identical, so every
+    function of them — including the driver's — matches too.
+    Local green therefore implies driver green by construction.
+    """
     if v is None or v != v:  # NaN/None
         return "\\N"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.4f}"
+    if isinstance(v, float):  # np.float64 is a float subclass
+        return repr(float(v))
     return str(v)
 
 
