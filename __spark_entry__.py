@@ -462,10 +462,12 @@ _ED_POOL = [
     "Oktober", "März", "September", "December", "March", "October",
     "August", "Mai", "Juli", "Dezember", "November", "April",
 ]
-#: multi-locale month words for q_date_multilocale (en/es/fr/nl/tr)
+#: multi-locale month words for q_date_multilocale (en/es/fr/nl/tr +
+#: it/pt/de since round 4 — gennaio/março/dezember exercise the added
+#: MULTILOCALE_MONTHS locales through the same oracle)
 _ML_POOL = [
-    "march", "agosto", "août", "mei", "ocak", "december",
-    "julio", "février", "kasım", "june", "maart", "mayıs",
+    "march", "agosto", "août", "mei", "ocak", "gennaio",
+    "julio", "février", "kasım", "março", "maart", "dezember",
 ]
 _ML_TODAY = "2021-06-15"
 
@@ -1745,11 +1747,11 @@ def _ml_oracle() -> str:
                              || '-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
                              || '-' || (event_id % 4 + 2020)
                         WHEN 2 THEN (event_id % 28 + 1) || ' ' ||
-                             (['march','agosto','août','mei','ocak','december','julio',
-                               'février','kasım','june','maart','mayıs'])
+                             (['march','agosto','août','mei','ocak','gennaio','julio',
+                               'février','kasım','março','maart','dezember'])
                              [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 4 + 2020)
-                        WHEN 3 THEN (['march','agosto','août','mei','ocak','december',
-                               'julio','février','kasım','june','maart','mayıs'])
+                        WHEN 3 THEN (['march','agosto','août','mei','ocak','gennaio',
+                               'julio','février','kasım','março','maart','dezember'])
                              [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 28 + 1)
                              || ', ' || (event_id % 4 + 2020)
                         WHEN 4 THEN (event_id % 28 + 1) || '.' || (event_id % 12 + 1)

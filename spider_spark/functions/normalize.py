@@ -256,6 +256,20 @@ MULTILOCALE_MONTHS: dict[str, int] = {
     "mayis": 5, "haziran": 6, "temmuz": 7, "ağustos": 8, "agustos": 8,
     "eylül": 9, "eylul": 9, "ekim": 10, "kasım": 11, "kasim": 11,
     "aralık": 12, "aralik": 12,
+    # it (round 4: 693 *_it JSON-source spiders parse Italian dates via
+    # dateparser auto-detection — helper.py available_date path)
+    "gennaio": 1, "febbraio": 2, "aprile": 4, "maggio": 5, "giugno": 6,
+    "luglio": 7, "settembre": 9, "ottobre": 10, "dicembre": 12,
+    # de (extract_date covers numeric DE; these cover spelled months)
+    "januar": 1, "februar": 2, "märz": 3, "maerz": 3, "dezember": 12,
+    # pt
+    "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "maio": 5,
+    "junho": 6, "julho": 7, "setembro": 9, "outubro": 10, "novembro": 11,
+    "dezembro": 12,
+    # shared across the added locales and already present with the same
+    # month value: marzo(es/it 3), agosto(es/it/pt 8), abril(es/pt 4),
+    # novembre(fr/it 11), mai(fr/de 5), juni/juli(nl/de), april/august/
+    # september/november(en/de), oktober(nl/de)
 }
 
 _ML_NUMERIC_RE = r"^(\d{1,2})[./-](\d{1,2})[./-](\d{4})$"

@@ -198,3 +198,171 @@ def main_content_pages(
             )
 
     return pages.mapInPandas(run, "url string, main_text string")
+
+
+# ---------------------------------------------------------------------------
+# FormRequest.from_response analog
+# ---------------------------------------------------------------------------
+
+_FORM_VALUE_TAGS = {"input", "textarea", "select", "option", "button"}
+#: input types that only submit when clicked — from_response(clickdata=
+#: None) submits NO button, matching both reference call sites
+#: (immobiliarefaro_it.py:36, immobiliaretafy_com.py:40 pass only
+#: formdata)
+_CLICKABLE_TYPES = {"submit", "image", "button", "reset"}
+
+
+class _FormParser(HTMLParser):
+    """Collect (action, method, fields) of the form_index-th <form>.
+
+    Field semantics follow Scrapy's ``FormRequest.from_response`` /
+    lxml ``form_values()`` (public behavior): named <input> except
+    clickable types, checkboxes/radios only when ``checked`` (value
+    defaulting to 'on'), <textarea> text, <select> selected option
+    (first option when none is marked selected — the browser default
+    Scrapy inherits from lxml)."""
+
+    def __init__(self, form_index: int = 0):
+        super().__init__(convert_charrefs=True)
+        self.form_index = form_index
+        self._form_no = -1
+        self._in_target = False
+        self.action: str | None = None
+        self.method: str | None = None
+        self.fields: list[tuple[str, str]] = []
+        self._select_name: str | None = None
+        self._select_options: list[tuple[str, bool]] = []  # (value, selected)
+        self._textarea_name: str | None = None
+        self._textarea_chunks: list[str] | None = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "form":
+            self._form_no += 1
+            if self._form_no == self.form_index:
+                self._in_target = True
+                self.action = a.get("action") or ""
+                self.method = (a.get("method") or "GET").upper()
+            return
+        if not self._in_target:
+            return
+        if tag == "input":
+            name = a.get("name")
+            if not name:
+                return
+            itype = (a.get("type") or "text").lower()
+            if itype in _CLICKABLE_TYPES:
+                return
+            if itype in ("checkbox", "radio") and "checked" not in a:
+                return
+            default = "on" if itype in ("checkbox", "radio") else ""
+            self.fields.append((name, a.get("value") or default))
+        elif tag == "select":
+            self._select_name = a.get("name")
+            self._select_options = []
+        elif tag == "option" and self._select_name is not None:
+            self._select_options.append(
+                (a.get("value") if a.get("value") is not None else "", "selected" in a)
+            )
+        elif tag == "textarea":
+            self._textarea_name = a.get("name")
+            self._textarea_chunks = []
+
+    def handle_data(self, data):
+        if self._textarea_chunks is not None:
+            self._textarea_chunks.append(data)
+
+    def handle_endtag(self, tag):
+        if tag == "form" and self._in_target:
+            self._in_target = False
+        elif tag == "select" and self._in_target and self._select_name:
+            chosen = next((v for v, sel in self._select_options if sel), None)
+            if chosen is None and self._select_options:
+                chosen = self._select_options[0][0]
+            if chosen is not None:
+                self.fields.append((self._select_name, chosen))
+            self._select_name = None
+        elif tag == "textarea" and self._in_target and self._textarea_name:
+            self.fields.append(
+                (self._textarea_name, "".join(self._textarea_chunks or []))
+            )
+            self._textarea_name = None
+            self._textarea_chunks = None
+
+
+def form_request(
+    html: str,
+    page_url: str,
+    overrides: dict[str, str] | None = None,
+    form_index: int = 0,
+) -> tuple[str, str, str] | None:
+    """One page -> (action_url, method, urlencoded_body) of its
+    ``form_index``-th form with ``overrides`` applied — the
+    ``FormRequest.from_response(response, formdata=...)`` analog
+    (2 reference spiders: immobiliarefaro_it.py:36,
+    immobiliaretafy_com.py:40 — next-page POST with
+    ``{'num_page': n}``). None when the page has no such form.
+
+    Override semantics match Scrapy: an override REPLACES every
+    collected field of that name in place (keeping document order);
+    unseen keys are appended in overrides order. The action resolves
+    against the page URL (empty action = the page URL itself)."""
+    from urllib.parse import urlencode, urljoin
+
+    p = _FormParser(form_index)
+    p.feed(html or "")
+    p.close()
+    if p.action is None:
+        return None
+    ov = dict(overrides or {})
+    out: list[tuple[str, str]] = []
+    replaced: set[str] = set()
+    for name, value in p.fields:
+        if name in ov:
+            if name in replaced:
+                continue  # collapse duplicates of an overridden field
+            out.append((name, ov[name]))
+            replaced.add(name)
+        else:
+            out.append((name, value))
+    for name, value in ov.items():
+        if name not in replaced:
+            out.append((name, str(value)))
+    action = urljoin(page_url or "", p.action) if p.action else (page_url or "")
+    return action, p.method or "GET", urlencode(out)
+
+
+def form_requests(
+    pages: DataFrame,
+    overrides: dict[str, str] | str | None = None,
+    html_col: str = "html",
+    url_col: str = "url",
+    form_index: int = 0,
+) -> DataFrame:
+    """(url, html) -> (url, action, method, body) via mapInPandas —
+    one Arrow crossing, rows without a form dropped. ``overrides`` is
+    either a static dict (same formdata for every page) or the NAME of
+    a map<string,string> column carrying per-row formdata (the
+    reference's incrementing ``num_page`` shape). The output maps
+    straight onto frontier columns: action->url, method->method,
+    body->body (the frontier fingerprint already covers method+body,
+    functions/urls.py)."""
+
+    per_row = isinstance(overrides, str)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            ovs = pdf[overrides] if per_row else None
+            for i, (url, html) in enumerate(zip(pdf[url_col], pdf[html_col])):
+                ov = dict(ovs.iloc[i] or {}) if per_row else overrides
+                got = form_request(html, url, ov, form_index)
+                if got is not None:
+                    rows.append((url, got[0], got[1], got[2]))
+            yield pd.DataFrame(
+                rows, columns=["url", "action", "method", "body"]
+            )
+
+    return pages.mapInPandas(
+        run, "url string, action string, method string, body string"
+    )

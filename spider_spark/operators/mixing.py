@@ -84,8 +84,26 @@ def pack_shards(
     bottleneck never appears in the plan. Bucket skew is bounded by the
     order-key distribution (ids: near-uniform); raise n_buckets for
     wider clusters.
+
+    ``order_col`` must be NUMERIC (the bucketing arithmetically splits
+    its [min, max] range); a clear TypeError is raised otherwise. For
+    a string key, derive a numeric one first — e.g.
+    ``df.withColumn("ok", F.xxhash64("doc_id"))`` when any
+    deterministic order will do (hash order is stable but arbitrary),
+    or a precomputed rank when the pack must follow a semantic order.
     """
     spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, (T.NumericType,)):
+        raise TypeError(
+            f"pack_shards: order_col {order_col!r} has type "
+            f"{dt.simpleString()}, but the range bucketing needs a "
+            "numeric key — derive one (e.g. F.xxhash64(col) for an "
+            "arbitrary stable order, or a rank column) and pass it "
+            "as order_col."
+        )
     lo_hi = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()

@@ -520,14 +520,19 @@ def decontaminate(
 
 
 def _edge_fingerprint(edges: DataFrame) -> tuple:
-    """Cheap order-insensitive fingerprint of an edge set: row count plus
-    two bounded hash sums (mod a prime so the long sum can never
-    overflow under ANSI mode even at 10^10 edges)."""
+    """Cheap order-insensitive fingerprint of an edge set: row count
+    plus two hash sums. Each term is bounded via pmod into [0, p) and
+    the SUM is taken in double (round-4 fix: a long sum of |term| <
+    10^9 values overflows Long.MAX at ~10^10 edges under ANSI mode;
+    the double sum is exact up to 2^53/10^9 ≈ 9·10^6 edges and a
+    stable order-insensitive checksum beyond — collisions only make
+    the convergence check conservative, never wrong, because the
+    caller also compares row counts)."""
     p = F.lit(1000000007)
     row = edges.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("u", "v") % p).alias("h1"),
-        F.sum(F.xxhash64("v", "u") % p).alias("h2"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), p).cast("double")).alias("h1"),
+        F.sum(F.pmod(F.xxhash64("v", "u"), p).cast("double")).alias("h2"),
     ).first()
     return (row["n"], row["h1"], row["h2"])
 

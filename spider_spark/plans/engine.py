@@ -456,16 +456,20 @@ class CrawlEngine:
             if cfg.autothrottle:
                 # fold this wave's latency into the policy dim (per-host
                 # EMA, Scrapy _adjust_delay semantics) for the NEXT
-                # wave's scheduler broadcast; the dim is tiny, so the
-                # update collects into a fresh local DataFrame to keep
-                # the policy lineage flat across many waves
+                # wave's scheduler broadcast. localCheckpoint flattens
+                # the policy lineage across waves WITHOUT routing the
+                # dim through the driver (round-4 fix: the previous
+                # collect+createDataFrame was fine at thousands of
+                # hosts but a web-scale host dim is millions of rows);
+                # the superseded checkpoint blocks are freed by the
+                # ContextCleaner once self.policy is reassigned.
                 # measured latency passes through; only the synthetic
                 # backend (no latency column) gets the stand-in
                 lat_stats = AT.wave_latency_stats(AT.with_latency(fetched))
                 updated = AT.updated_policy(self.policy, lat_stats)
-                self.policy = self.spark.createDataFrame(
-                    updated.collect(), schema=schemas.HOST_POLICY
-                )
+                self.policy = updated.select(
+                    *[f.name for f in schemas.HOST_POLICY.fields]
+                ).localCheckpoint()
 
             totals["fetched"] += n_fetched
             totals["docs"] += n_docs

@@ -199,6 +199,15 @@ def test_multilocale_available_date(spark):
         ("29/02/2020", None),             # shift lands on 2022-02-29 (invalid)
         ("15.06.2021", "2021-06-15"),     # parsed == today -> NOT shifted
         ("available soon", None),
+        # round 4: it/de/pt month names (693 *_it spiders route Italian
+        # dates through dateparser auto-detection)
+        ("3 gennaio 2021", "2022-01-03"),
+        ("luglio 20, 2021", "2021-07-20"),
+        ("settembre 1, 2021", "2021-09-01"),
+        ("12 dezember 2021", "2021-12-12"),
+        ("5 märz 2021", "2022-03-05"),
+        ("1 março 2022", "2022-03-01"),
+        ("outubro 8, 2021", "2021-10-08"),
     ]
     got = col_vals(
         spark, [x for x, _ in vec], lambda c: N.multilocale_available_date(c, "2021-06-15")

@@ -1335,6 +1335,11 @@ def test_deterministic_sample_and_pack_shards(spark):
     assert MX.pack_shards(df.limit(3), "w", budget=10**9, order_col="doc_id").count() == 3
     empty = MX.pack_shards(df.filter("doc_id < 0"), "w", budget=10, order_col="doc_id")
     assert empty.count() == 0 and "shard_id" in empty.columns
+    # non-numeric order key raises a CLEAR error up front (round 4),
+    # not an opaque cast failure inside the bucketing arithmetic
+    strdf = df.withColumn("sid", F.col("doc_id").cast("string"))
+    with pytest.raises(TypeError, match="numeric"):
+        MX.pack_shards(strdf, "w", budget=10, order_col="sid")
 
 
 def test_pagerank_power_iteration(spark):
@@ -1622,3 +1627,86 @@ def test_robots_check_longest_match(spark):
     assert merged["h9"]["crawl_delay_s"] == 0.1
     assert merged["h9"]["robots_disallow"] == ["/keep"]
     assert list(merged["h1"].keys()) == list(merged["h9"].keys())
+
+
+def test_form_request_from_response_vectors():
+    """FormRequest.from_response analog (htmlparse.form_request):
+    field collection + override semantics vs the two reference call
+    sites' shape (immobiliarefaro_it.py:36 — POST form, formdata
+    overrides an existing hidden field)."""
+    from spider_spark.operators.htmlparse import form_request
+
+    page = """
+    <html><body>
+      <form action="/ricerca.php" method="post">
+        <input type="hidden" name="num_page" value="1"/>
+        <input type="hidden" name="tipo" value="affitto"/>
+        <input type="text" name="zona" value="centro"/>
+        <input type="checkbox" name="arredato" checked/>
+        <input type="checkbox" name="garage"/>
+        <input type="radio" name="classe" value="a" checked/>
+        <input type="radio" name="classe" value="b"/>
+        <input type="submit" name="cerca" value="Cerca"/>
+        <select name="locali"><option value="1">1</option>
+          <option value="2" selected>2</option></select>
+        <textarea name="note">n/a</textarea>
+      </form>
+      <form action="/second" method="get">
+        <input name="q" value="x"/>
+      </form>
+    </body></html>
+    """
+    got = form_request(
+        page, "https://www.immobiliarefaro.it/ricerca.php",
+        overrides={"num_page": "2"},
+    )
+    assert got is not None
+    action, method, body = got
+    assert action == "https://www.immobiliarefaro.it/ricerca.php"
+    assert method == "POST"
+    # overridden in place, submit button excluded, unchecked skipped,
+    # checked checkbox defaults to 'on', selected option wins
+    assert body == (
+        "num_page=2&tipo=affitto&zona=centro&arredato=on"
+        "&classe=a&locali=2&note=n%2Fa"
+    )
+    # new key appended; second form reachable by index; missing form -> None
+    _, _, b2 = form_request(page, "http://x/", overrides={"extra": "1"})
+    assert b2.endswith("&extra=1")
+    a3, m3, b3 = form_request(page, "http://x/base/page", form_index=1)
+    assert (a3, m3, b3) == ("http://x/second", "GET", "q=x")
+    assert form_request("<html><p>no form</p></html>", "http://x/") is None
+    # select with no selected option falls back to the first option
+    sel = '<form action="a"><select name="s"><option value="v1"/><option value="v2"/></select></form>'
+    assert form_request(sel, "http://h/")[2] == "s=v1"
+
+
+def test_form_requests_dataframe(spark):
+    """DataFrame wrapper: per-row overrides via a map column (the
+    incrementing num_page shape); pages without a form are dropped;
+    output maps onto frontier url/method/body columns."""
+    from spider_spark.operators.htmlparse import form_requests
+
+    html = (
+        '<form action="/go" method="post">'
+        '<input type="hidden" name="num_page" value="1"/></form>'
+    )
+    pages = spark.createDataFrame(
+        [
+            ("http://a/p", html, {"num_page": "7"}),
+            ("http://b/p", html, {"num_page": "3"}),
+            ("http://c/p", "<p>formless</p>", {"num_page": "9"}),
+        ],
+        "url string, html string, formdata map<string,string>",
+    )
+    got = {
+        r["url"]: (r["action"], r["method"], r["body"])
+        for r in form_requests(pages, overrides="formdata").collect()
+    }
+    assert got == {
+        "http://a/p": ("http://a/go", "POST", "num_page=7"),
+        "http://b/p": ("http://b/go", "POST", "num_page=3"),
+    }
+    # static dict mode
+    got2 = form_requests(pages, overrides={"num_page": "5"}).collect()
+    assert {r["body"] for r in got2} == {"num_page=5"}

@@ -1,0 +1,119 @@
+"""Float hash-stability audit for the contract registry (round 4).
+
+Two failure classes can flip the driver's exact value hash even when a
+query is algorithmically right:
+
+1. **Cross-engine ulp drift**: Spark (JVM libm/BigDecimal) and the
+   DuckDB oracle disagree in the last ulp of a transcendental, and a
+   final round()/floor() amplifies that into a different digit.
+   Defense: quantize ONCE with floor(x*scale + 0.5) into integers
+   (pure IEEE ops — bit-identical given the same inputs) and verify
+   the MARGIN: the distance from x*scale + 0.5 to the nearest integer
+   must exceed any plausible accumulated cross-engine error (we demand
+   1e-6; ln/div chains accumulate ~1e-10 relative).
+
+2. **Shuffle-order nondeterminism**: a double SUM over a shuffle
+   (groupBy agg, iterative PageRank) adds in partition order, so two
+   runs of the SAME query can differ in the last ulp. Defense: run
+   every float-emitting query twice under different
+   spark.sql.shuffle.partitions and require EXACT hash equality.
+
+Usage: python tools/audit_float_margins.py [sf_dir]
+Exit 1 on any margin below threshold or any nondeterministic query.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from check_contract import table_hash  # noqa: E402
+
+MARGIN_THRESHOLD = 1e-6
+
+#: (query, column, scale) triples whose contract output is
+#: floor(col*scale + 0.5) of a transcendental-derived double — the
+#: quantities whose boundary margin must be audited.
+QUANTIZED = {
+    "revisit": [
+        ("lambda_per_s", 86400.0 * 10000.0, "lambda_per_day_e4"),
+        ("revisit_interval_s", 1.0, "revisit_interval_s"),
+        ("next_due_s", 1.0, "next_due_s"),
+    ],
+}
+
+
+def boundary_margin(x: float, scale: float) -> float:
+    """Distance of x*scale + 0.5 from the nearest integer — how far a
+    cross-engine perturbation of x must push to change floor()."""
+    v = x * scale + 0.5
+    return abs(v - round(v))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+    from spider_spark.operators import revisit as RV
+    from spider_spark.session import get_spark
+
+    spark = get_spark("float_audit", cpus=8)
+    failures: list[str] = []
+
+    # -- Part A: quantization margins on the raw (pre-floor) doubles --
+    print("== Part A: floor-boundary margins ==")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hist = ev.select(
+        F.concat(F.lit("u"), (eid % 500).cast("string")).alias("url"),
+        (F.floor(eid / 500) * 43200.0).cast("double").alias("fetch_time"),
+        F.when(
+            F.col("event_type").isin("purchase", "error"),
+            F.concat(F.lit("c"), eid.cast("string")),
+        ).otherwise(F.lit("stable")).alias("content_digest"),
+    )
+    raw = RV.change_rate_schedule(hist).collect()
+    for col, scale, out_name in QUANTIZED["revisit"]:
+        margins = [
+            boundary_margin(r[col], scale) for r in raw if r[col] is not None
+        ]
+        m = min(margins) if margins else math.inf
+        ok = m >= MARGIN_THRESHOLD
+        print(
+            f"revisit.{out_name}: min margin {m:.3e} over {len(margins)} "
+            f"rows {'OK' if ok else 'TOO CLOSE'}"
+        )
+        if not ok:
+            failures.append(f"revisit.{out_name} margin {m:.3e}")
+
+    # -- Part B: shuffle-order determinism of float-emitting queries --
+    print("== Part B: determinism under different shuffle partitioning ==")
+    qs = E.queries()
+    for name, fn in qs.items():
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        df1 = fn(spark, sf_dir)
+        if not any(
+            isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            for f in df1.schema.fields
+        ):
+            continue
+        h1 = table_hash(df1.toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        h2 = table_hash(fn(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        ok = h1 == h2
+        print(f"{name}: {'DETERMINISTIC' if ok else 'HASH DIVERGED'} "
+              f"{h1[2][:8]} vs {h2[2][:8]}")
+        if not ok:
+            failures.append(f"{name} nondeterministic across partitioning")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
