@@ -1351,8 +1351,16 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate blocks must lose to the content div; the oracle
     reconstructs the winning block's text from the generation formula,
     while the RULE itself (nesting, ties, anchors, script skip) is
-    pinned by hand vectors in tests/test_operators_ext.py."""
+    pinned by hand vectors in tests/test_operators_ext.py. Folded in
+    (round 4): FormRequest.from_response analog — each page carries a
+    POST form (hidden num_page + cat inputs, submit button) and a
+    per-row formdata override map; form_action/form_body pin field
+    collection, override-in-place, submit exclusion, and action
+    resolution against the page URL (operators/htmlparse.form_requests;
+    reference call sites immobiliarefaro_it.py:36,
+    immobiliaretafy_com.py:40)."""
     from spider_spark.operators.htmlparse import (
+        form_requests,
         main_content_pages,
         parse_html_pages,
     )
@@ -1373,27 +1381,48 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" </p> <p> ref "), did,
         F.lit(
             ' </p> </div><div class="footer"> copyright'
-            ' <a href="/contact"> contact </a> </div></body></html>'
+            ' <a href="/contact"> contact </a> </div>'
+            '<form action="/search.php" method="post">'
+            '<input type="hidden" name="num_page" value="1"/>'
+            '<input type="hidden" name="cat" value="'
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(
+            '"/><input type="submit" name="go" value="Go"/></form>'
+            "</body></html>"
         ),
     )
     pages = docs.select(
         F.concat(F.lit("http://docs.example/"), did).alias("url"),
         html.alias("html"),
+        F.create_map(
+            F.lit("num_page"), (F.col("doc_id") % 9 + 2).cast("string")
+        ).alias("formdata"),
     )
     parsed = parse_html_pages(pages)
     mains = main_content_pages(pages)
+    forms = form_requests(pages, overrides="formdata").select(
+        "url",
+        F.col("action").alias("form_action"),
+        F.col("body").alias("form_body"),
+    )
     return (
         parsed.join(mains, "url")
+        .join(forms, "url")
         .select(
             "url",
             F.size("out_links").alias("n_links"),
             "main_text",
+            "form_action",
+            "form_body",
             F.explode("spans").alias("s"),
         )
         .select(
             "url",
             "n_links",
             "main_text",
+            "form_action",
+            "form_body",
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
@@ -2740,20 +2769,25 @@ def oracle_sql() -> dict[str, str]:
                        doc_id % 5 AS m,
                        doc_id
                 FROM documents),
-            b AS (SELECT *, t || ' ref ' || doc_id AS main FROM base)
-            SELECT url, 4 AS n_links, main AS main_text, 'text' AS kind,
+            b AS (SELECT *, t || ' ref ' || doc_id AS main,
+                         'http://docs.example/search.php' AS fa,
+                         'num_page=' || (doc_id % 9 + 2)
+                             || '&cat=' || (doc_id % 7) AS fb
+                  FROM base)
+            SELECT url, 4 AS n_links, main AS main_text,
+                   fa AS form_action, fb AS form_body, 'text' AS kind,
                    'Home' AS text, CAST(NULL AS VARCHAR) AS media_ref,
                    0 AS "offset" FROM b
-            UNION ALL SELECT url, 4, main, 'text', 'About', NULL, 1 FROM b
-            UNION ALL SELECT url, 4, main, 'text', t, NULL, 2 FROM b
-            UNION ALL SELECT url, 4, main, 'text', 'more', NULL, 3 FROM b
-            UNION ALL SELECT url, 4, main, 'media', NULL,
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'About', NULL, 1 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', t, NULL, 2 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'more', NULL, 3 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'media', NULL,
                    '/i/' || m || '.jpg', 4 FROM b
-            UNION ALL SELECT url, 4, main, 'text', t, NULL, 5 FROM b
-            UNION ALL SELECT url, 4, main, 'text', 'ref ' || doc_id,
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', t, NULL, 5 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'ref ' || doc_id,
                    NULL, 6 FROM b
-            UNION ALL SELECT url, 4, main, 'text', 'copyright', NULL, 7 FROM b
-            UNION ALL SELECT url, 4, main, 'text', 'contact', NULL, 8 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'copyright', NULL, 7 FROM b
+            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'contact', NULL, 8 FROM b
         """,
         "css_select": """
             SELECT doc_id,
