@@ -23,7 +23,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
@@ -296,6 +296,17 @@ class CrawlEngine:
                 )
             else:
                 fetched = fetched.withColumn("_parse_ok", F.col("status") == 200)
+            # per-wave stats ride the write jobs via observe() metrics,
+            # so the wave runs ZERO dedicated stat actions (round-4:
+            # the unioned stats job was the longest per-wave pole,
+            # ~2.7 s of pure task-scheduling overhead at bench scale).
+            # Every observe node is attached ABOVE a persisted plan and
+            # referenced by exactly ONE write query: a CollectMetrics
+            # node placed UNDER a cache appears in every consumer's
+            # plan, and a consumer that merely reads the populated
+            # cache completes with an EMPTY metrics row — whichever
+            # query-end event reaches the Observation listener first
+            # wins that race (observed empirically on the bloom path).
             fetched = fetched.persist()
 
             ok = fetched.filter(F.col("_parse_ok")).drop("_parse_ok")
@@ -346,50 +357,42 @@ class CrawlEngine:
                     )
                 )
             admitted, recorded = self._admit(new_links, wave)
-
-            # persisted: the frontier write AND the pending-count stat
-            # share one materialization (deferred re-derives the
-            # politeness window otherwise)
-            next_pending = (
-                deferred.unionByName(admitted.select(*deferred.columns))
-                .unionByName(retry.select(*deferred.columns))
-                .persist()
+            # admitted count/max-seq observed ABOVE admitted's cache:
+            # the CollectMetrics node executes when the frontier write
+            # materializes next_pending (a cache scan the union pays
+            # anyway), never as its own job
+            obs_admitted = Observation()
+            admitted_obs = admitted.observe(
+                obs_admitted,
+                F.count(F.lit(1)).alias("n"),
+                F.max("discovered_seq").alias("x"),
             )
 
-            # ONE stat action per wave: three tiny aggregates over
-            # persisted DataFrames union into a single job — admitted
-            # count/max-seq, fetched count/doc count, and NEXT wave's
-            # pending count (which used to be its own per-wave job over
-            # the re-read frontier parquet)
-            astats = admitted.agg(
-                F.count("*").alias("n"), F.max("discovered_seq").alias("x")
-            ).select(F.lit("admitted").alias("side"), "n", "x")
-            fstats = fetched.agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    (
-                        F.col("_parse_ok")
-                        & ~F.col("is_listing_page")
-                        & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
-                    ).cast("long")
-                ).alias("x"),
-            ).select(F.lit("fetched").alias("side"), "n", "x")
-            pstats = next_pending.agg(F.count("*").alias("n")).select(
-                F.lit("pending").alias("side"), "n", F.lit(0).cast("long").alias("x")
+            # persisted: the frontier write AND the pending-count
+            # observation share one materialization (deferred
+            # re-derives the politeness window otherwise)
+            obs_pending = Observation()
+            next_pending = (
+                deferred.unionByName(admitted_obs.select(*deferred.columns))
+                .unionByName(retry.select(*deferred.columns))
+                .observe(obs_pending, F.count(F.lit(1)).alias("n"))
+                .persist()
             )
             prof: dict[str, float] = {}
             if cfg.profile:
                 t_f = time.monotonic()
                 fetched.count()  # materialize schedule+fetch in isolation
                 prof["fetch_s"] = round(time.monotonic() - t_f, 3)
-            # the docs / frontier / url_seen writes and the stat collect
-            # are independent jobs over persisted inputs — submit them
-            # concurrently from driver threads (Spark schedules them in
-            # one pool) so their fixed per-job latencies overlap instead
-            # of summing; the metrics write needs the stat literals, so
-            # it launches as soon as stats resolve while the big writes
-            # may still be in flight. The manifest commit stays strictly
-            # after ALL writes, so crash atomicity is unchanged.
+            # the docs / frontier / url_seen writes are independent jobs
+            # over persisted inputs — submit them concurrently from
+            # driver threads (Spark schedules them in one pool) so their
+            # fixed per-job latencies overlap instead of summing. The
+            # per-wave stats arrive as observe() metrics riding those
+            # same writes (no dedicated stat job); the metrics write
+            # needs the stat literals, so it launches as soon as the
+            # observations resolve while other writes may still be in
+            # flight. The manifest commit stays strictly after ALL
+            # writes, so crash atomicity is unchanged.
             with ThreadPoolExecutor(max_workers=5) as pool:
                 docs_fut = pool.submit(self.store.write_wave, "documents", wave, docs)
                 frontier_fut = pool.submit(
@@ -403,29 +406,72 @@ class CrawlEngine:
                     if link_edges is not None
                     else None
                 )
-                stats_fut = pool.submit(
-                    lambda: {
-                        r["side"]: r
-                        for r in astats.unionByName(fstats).unionByName(pstats).collect()
-                    }
-                )
                 t_p = time.monotonic()
-                stats = stats_fut.result()
+                a_row = obs_admitted.get  # blocks until the frontier write fires it
                 prof["stats_s"] = round(time.monotonic() - t_p, 3)
-                n_admitted = stats["admitted"]["n"]
-                n_docs = int(stats["fetched"]["x"] or 0)
-                metrics = (
-                    fetched.groupBy("crawl_id", "host_bucket")
+                n_admitted = int(a_row["n"])
+                # fetched-side stats ride the METRICS write (the one
+                # query that scans all fetched rows anyway); the global
+                # docs_emitted column is derived IN-PLAN by
+                # re-aggregating the tiny grouped output and broadcast
+                # cross-joining it back — no driver literal, no extra
+                # action
+                obs_fetched = Observation()
+                grouped = (
+                    fetched.observe(
+                        obs_fetched,
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            (
+                                F.col("_parse_ok")
+                                & ~F.col("is_listing_page")
+                                & (
+                                    F.size(F.coalesce(F.col("spans"), F.array()))
+                                    > 0
+                                )
+                            ).cast("long")
+                        ).alias("docs"),
+                    )
+                    .groupBy("crawl_id", "host_bucket")
                     .agg(
                         F.count("*").alias("fetched"),
                         F.sum((~F.col("_parse_ok")).cast("long")).alias("retried"),
+                        F.sum(
+                            (
+                                F.col("_parse_ok")
+                                & ~F.col("is_listing_page")
+                                & (
+                                    F.size(F.coalesce(F.col("spans"), F.array()))
+                                    > 0
+                                )
+                            ).cast("long")
+                        ).alias("_docs_part"),
+                    )
+                )
+                # global docs_emitted via an unpartitioned window over
+                # the GROUPED output — bounded by n_buckets (a config
+                # constant, not data size), so the single-partition
+                # window is safe at any scale; a broadcast self-join
+                # would duplicate the CollectMetrics node in one query
+                metrics = (
+                    grouped.withColumn(
+                        "_docs_all",
+                        F.sum("_docs_part").over(
+                            Window.partitionBy(F.lit(1)).rowsBetween(
+                                Window.unboundedPreceding,
+                                Window.unboundedFollowing,
+                            )
+                        ),
                     )
                     .withColumn("wave", F.lit(wave))
                     .withColumn("candidates", F.lit(n_admitted).cast("long"))
                     .withColumn("deduped_dropped", F.lit(0).cast("long"))
                     .withColumn("robots_dropped", F.lit(0).cast("long"))
                     .withColumn("scheduled", F.col("fetched"))
-                    .withColumn("docs_emitted", F.lit(n_docs).cast("long"))
+                    .withColumn(
+                        "docs_emitted",
+                        F.coalesce(F.col("_docs_all"), F.lit(0)).cast("long"),
+                    )
                     .withColumn(
                         "wall_ms",
                         F.lit(int((time.monotonic() - t0) * 1000)).cast("long"),
@@ -442,8 +488,10 @@ class CrawlEngine:
                     links_fut.result()
                 metrics_fut.result()
                 prof["writes_s"] = round(time.monotonic() - t_p, 3)
-            next_base = max(next_base, int(stats["admitted"]["x"] or 0)) + 1
-            n_fetched = stats["fetched"]["n"]
+            f_row = obs_fetched.get  # fired by the metrics write
+            next_base = max(next_base, int(a_row["x"] or 0)) + 1
+            n_fetched = int(f_row["n"])
+            n_docs = int(f_row["docs"] or 0)
             t_c = time.monotonic()
             self.store.commit_wave(wave, {"next_seq_base": next_base})
             if cfg.compact_every and wave > 0 and wave % cfg.compact_every == 0:
@@ -479,9 +527,10 @@ class CrawlEngine:
             next_pending.unpersist()
             # re-read pending from the committed snapshot: truncates lineage
             # (the iterative-loop analog of checkpointing); its count came
-            # back with the unioned stats job — no extra per-wave action
+            # back as an observation on the frontier write — no extra
+            # per-wave action
             pending = self.store.read_table("frontier", "latest")
-            n_pending = int(stats["pending"]["n"])
+            n_pending = int(obs_pending.get["n"])
             wave += 1
         return totals
 
