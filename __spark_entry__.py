@@ -1554,7 +1554,13 @@ def q_crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spider_spark.storage.catalog import SnapshotStore
     from spider_spark.synth import WebSpec, host_policy_df, seeds_df, web_df
 
-    spec = WebSpec(seed=42, n_hosts=3, pages_per_host=1, details_per_page=3)
+    # redirect_rate: a third of detail pages hide behind 3xx aliases
+    # (301/302/307 mix, some 2-hop), so the RedirectMiddleware analog
+    # is exercised under the driver's value-hash check (round 4)
+    spec = WebSpec(
+        seed=42, n_hosts=3, pages_per_host=1, details_per_page=3,
+        redirect_rate=0.34,
+    )
     store = SnapshotStore(spark, tempfile.mkdtemp(prefix="entry_crawl_"))
     eng = CrawlEngine(
         spark,

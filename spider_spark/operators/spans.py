@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import schemas
 from ..functions.urls import resolve_udf
 
 
@@ -179,6 +180,87 @@ def extract_links(fetched_ok: DataFrame) -> DataFrame:
         F.lit(False).alias("dont_filter"),
         "parent_seq",
         "link_pos",
+    )
+
+
+def redirect_candidates(
+    fetched: DataFrame,
+    max_times: int = schemas.REDIRECT_MAX_TIMES,
+    priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST,
+) -> DataFrame:
+    """RedirectMiddleware analog (Scrapy 2.3 defaults — implicit in all
+    3,788 reference spiders; ``aryes_be.py:80`` opts out per-request
+    with ``meta={'dont_redirect': True}``): 3xx responses with a
+    Location become NEW frontier candidates in link shape.
+
+    Faithful semantics:
+
+    * 301/307/308 (and any HEAD request) keep method+body; 302/303
+      downgrade to GET with no body (browser behavior, Scrapy
+      ``_redirect_request_using_get``).
+    * ``meta['dont_redirect']`` truthy, or a status admitted by the
+      source's ``handle_httpstatus_list`` (``_parse_ok`` here),
+      suppresses redirecting — the response goes to parse instead.
+    * chain cap ``REDIRECT_MAX_TIMES`` (20) via ``meta['redirect_times']``;
+      the hop trail accumulates in ``meta['redirect_urls']`` ('|'-joined).
+    * priority rises by ``REDIRECT_PRIORITY_ADJUST`` (+2) per hop, so
+      near-complete chains finish ahead of fresh discoveries.
+    * ``dont_filter`` is inherited (Request.replace semantics); a
+      redirect TARGET therefore still passes the RFPDupeFilter, which
+      is also what kills redirect loops (a->b->a: the second 'a' is
+      already seen).
+
+    Scale shape: one filter + projection over the already-persisted
+    fetched wave — no shuffle, no Python. Emits ``link_pos = -1`` so
+    redirect targets order deterministically BEFORE the page's
+    extracted links under the (parent_seq, link_pos) sort.
+    """
+    base_meta = F.coalesce(F.col("meta"), F.create_map())
+    dont_redirect = ~F.lower(
+        F.coalesce(F.element_at(base_meta, "dont_redirect"), F.lit(""))
+    ).isin("", "0", "false")
+    times = F.coalesce(
+        F.element_at(base_meta, "redirect_times").cast("int"), F.lit(0)
+    )
+    parse_ok = (
+        F.col("_parse_ok") if "_parse_ok" in fetched.columns
+        else F.col("status") == 200
+    )
+    redirs = fetched.filter(
+        F.col("status").isin(schemas.REDIRECT_HTTP_CODES)
+        & F.col("location").isNotNull()
+        & ~parse_ok
+        & ~dont_redirect
+        & (times < F.lit(max_times))
+    )
+    keep_method = F.col("status").isin(301, 307, 308) | (
+        F.upper(F.col("method")) == "HEAD"
+    )
+    trail = F.element_at(base_meta, "redirect_urls")
+    new_meta = F.map_concat(
+        F.map_filter(
+            base_meta, lambda k, _: ~k.isin("redirect_times", "redirect_urls")
+        ),
+        F.create_map(
+            F.lit("redirect_times"), (times + 1).cast("string"),
+            F.lit("redirect_urls"),
+            F.when(trail.isNull(), F.col("url")).otherwise(
+                F.concat(trail, F.lit("|"), F.col("url"))
+            ),
+        ),
+    )
+    return redirs.select(
+        "crawl_id",
+        resolve_udf(F.col("url"), F.col("location")).alias("url"),
+        F.when(keep_method, F.col("method")).otherwise(F.lit("GET")).alias("method"),
+        F.when(keep_method, F.col("body")).otherwise(F.lit(None).cast("string")).alias("body"),
+        "source",
+        new_meta.alias("meta"),
+        (F.col("priority") + F.lit(priority_adjust)).alias("priority"),
+        F.lit(0).alias("attempt"),
+        F.col("dont_filter"),
+        F.col("discovered_seq").alias("parent_seq"),
+        F.lit(-1).alias("link_pos"),
     )
 
 

@@ -46,6 +46,12 @@ class CrawlConfig:
     obey_robots: bool = False  # reference: ROBOTSTXT_OBEY=False (settings.py:21)
     autothrottle: bool = False  # adaptive delay (settings.py:74-78); off = static policy
     retry_times: int = schemas.RETRY_TIMES
+    #: RedirectMiddleware knobs (Scrapy REDIRECT_MAX_TIMES /
+    #: REDIRECT_PRIORITY_ADJUST defaults); redirect following itself
+    #: has no off switch, matching Scrapy — per-request opt-out is
+    #: meta={'dont_redirect': true}
+    redirect_max_times: int = schemas.REDIRECT_MAX_TIMES
+    redirect_priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST
     use_bloom: bool = False  # exact anti-join by default; Bloom is opt-in
     seen_backend: str | None = None  # None->use_bloom flag; "exact"|"bloom"|"cuckoo"
     bloom_capacity: int = 1 << 20
@@ -324,6 +330,22 @@ class CrawlEngine:
             docs = S.extract_documents(ok)
             new_links = S.apply_link_rules(S.extract_links(ok), self.link_rules)
             new_links = S.offsite_filter(new_links, self.offsite_rules)
+            if "location" in fetched.columns:
+                # 3xx follow (RedirectMiddleware analog). Targets skip
+                # LinkExtractor rules AND the offsite filter — in
+                # Scrapy 2.3 (the reference's version) redirects happen
+                # in a downloader middleware, below the spider-level
+                # OffsiteMiddleware; the downloader-side offsite check
+                # post-dates the reference. They DO pass the dupe
+                # filter via the shared _admit below — which is also
+                # what terminates redirect loops.
+                new_links = new_links.unionByName(
+                    S.redirect_candidates(
+                        fetched,
+                        self.cfg.redirect_max_times,
+                        self.cfg.redirect_priority_adjust,
+                    )
+                )
             new_links = S.assign_seq(
                 new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
             ).drop("link_pos")
@@ -448,16 +470,17 @@ class CrawlEngine:
                         ).alias("_docs_part"),
                     )
                 )
-                # global docs_emitted via an unpartitioned window over
-                # the GROUPED output — bounded by n_buckets (a config
-                # constant, not data size), so the single-partition
-                # window is safe at any scale; a broadcast self-join
-                # would duplicate the CollectMetrics node in one query
+                # global docs_emitted via a per-crawl window over the
+                # GROUPED output — bounded by n_buckets (a config
+                # constant, not data size), so the one-partition-per-
+                # crawl window is safe at any scale; a broadcast
+                # self-join would duplicate the CollectMetrics node in
+                # one query
                 metrics = (
                     grouped.withColumn(
                         "_docs_all",
                         F.sum("_docs_part").over(
-                            Window.partitionBy(F.lit(1)).rowsBetween(
+                            Window.partitionBy("crawl_id").rowsBetween(
                                 Window.unboundedPreceding,
                                 Window.unboundedFollowing,
                             )

@@ -87,6 +87,9 @@ WEB_PAGES = T.StructType(
         T.StructField("out_links", T.ArrayType(T.StringType()), True),
         T.StructField("spans", T.ArrayType(SPAN), True),
         T.StructField("is_listing_page", T.BooleanType(), False),
+        # Location header of a 3xx response (possibly relative), NULL
+        # for non-redirect pages
+        T.StructField("location", T.StringType(), True),
     ]
 )
 
@@ -153,3 +156,9 @@ MAX_CRAWL_DELAY_S = 2.0  # AUTOTHROTTLE_MAX_DELAY
 GLOBAL_CONCURRENCY = 320  # CONCURRENT_REQUESTS
 RETRY_TIMES = 3  # RETRY_TIMES
 RETRY_HTTP_CODES = [500, 503, 504, 400, 401, 403, 404, 405, 407, 408, 416, 456, 502, 429]
+#: RedirectMiddleware envelope (Scrapy 2.3 defaults, implicit in every
+#: reference spider; aryes_be.py:80 opts OUT per-request via
+#: meta={'dont_redirect': True})
+REDIRECT_HTTP_CODES = [301, 302, 303, 307, 308]
+REDIRECT_MAX_TIMES = 20  # REDIRECT_MAX_TIMES
+REDIRECT_PRIORITY_ADJUST = 2  # REDIRECT_PRIORITY_ADJUST

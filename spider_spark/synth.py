@@ -57,6 +57,12 @@ class WebSpec:
     #: part 1 carries the leading spans plus a continuation link; the
     #: engine must merge both fragments into one document
     split_item_rate: float = 0.25
+    #: prob a detail page sits behind a 3xx alias (`/go/{id}` ->
+    #: `/detail/{id}`): listings link the ALIAS, whose page carries a
+    #: redirect status + Location; a third of aliased details chain
+    #: through a second hop (`/go/{id}` -> `/go2/{id}` -> detail).
+    #: Default 0 keeps pre-redirect fixtures byte-identical.
+    redirect_rate: float = 0.0
     hosts: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -108,6 +114,16 @@ def make_spans(spec: WebSpec, doc_id: str, host: str) -> list[dict]:
     return spans
 
 
+def _redirect_hops(spec: WebSpec, host: str, did: str):
+    """(status_code, two_hop) when detail ``did`` hides behind a 3xx
+    alias, else None. Deterministic like everything else here."""
+    if _frac(_h(spec.seed, host, did, "redir")) >= spec.redirect_rate:
+        return None
+    code = (301, 302, 307)[_h(spec.seed, host, did, "rcode") % 3]
+    two_hop = _frac(_h(spec.seed, host, did, "rhops")) < 0.33
+    return code, two_hop
+
+
 def gen_web(spec: WebSpec) -> list[dict]:
     """Full synthetic web as plain dict rows (web_pages schema)."""
     pages: list[dict] = []
@@ -121,16 +137,19 @@ def gen_web(spec: WebSpec) -> list[dict]:
             for j in range(spec.details_per_page):
                 did = detail_ids[base + j]
                 r = _h(spec.seed, host, p, j)
+                # aliased details are linked via /go/; direct dup links
+                # below still use /detail/ (alias+direct interplay)
+                seg = "go" if _redirect_hops(spec, host, did) else "detail"
                 # exercise canonicalization: mix relative, query-bearing, fragments
                 form = r % 4
                 if form == 0:
-                    links.append(f"/detail/{did}")
+                    links.append(f"/{seg}/{did}")
                 elif form == 1:
-                    links.append(f"detail/{did}")
+                    links.append(f"{seg}/{did}")
                 elif form == 2:
-                    links.append(f"http://{host}/detail/{did}#frag")
+                    links.append(f"http://{host}/{seg}/{did}#frag")
                 else:
-                    links.append(f"http://{host}:80/detail/{did}")
+                    links.append(f"http://{host}:80/{seg}/{did}")
             # duplicate links back to previous page's details
             if p > 1:
                 for j in range(spec.details_per_page):
@@ -162,6 +181,34 @@ def gen_web(spec: WebSpec) -> list[dict]:
             )
         for did in detail_ids:
             doc_id = f"{host}/detail/{did}"
+            hops = _redirect_hops(spec, host, did)
+            if hops is not None:
+                # alias hop page(s): RELATIVE Location on hop 1 (tests
+                # urljoin), absolute on hop 2; no spans, no out_links
+                code, two_hop = hops
+                pages.append(
+                    {
+                        "url": f"http://{host}/go/{did}",
+                        "host": host,
+                        "status": code,
+                        "out_links": [],
+                        "spans": [],
+                        "is_listing_page": False,
+                        "location": f"/go2/{did}" if two_hop else f"/detail/{did}",
+                    }
+                )
+                if two_hop:
+                    pages.append(
+                        {
+                            "url": f"http://{host}/go2/{did}",
+                            "host": host,
+                            "status": 302,
+                            "out_links": [],
+                            "spans": [],
+                            "is_listing_page": False,
+                            "location": f"http://{host}/detail/{did}",
+                        }
+                    )
             status = 200
             if _frac(_h(spec.seed, host, did, "status")) < spec.retry_rate:
                 status = 500

@@ -8,6 +8,9 @@ configured by the reference:
 * per-host budget = min(max_concurrency, floor(wave_s / crawl_delay))
 * dispatch order per host: (priority DESC, discovered_seq ASC)
 * retries: RETRY_HTTP_CODES, <=3 attempts, requeued with dont_filter
+* redirects: RedirectMiddleware — 3xx+Location become new candidates
+  (301/307/308+HEAD keep method/body, 302/303 -> GET; +2 priority;
+  chain cap via meta['redirect_times']; meta['dont_redirect'] opts out)
 * listing pages emit links in page order; children ordered by
   (parent_seq, link_pos); detail pages emit media-dedup'd span docs
 
@@ -85,6 +88,7 @@ class GoldenCrawl:
         max_waves: int = 64,
         obey_robots: bool = False,
         retry_times: int = schemas.RETRY_TIMES,
+        redirect_max_times: int = schemas.REDIRECT_MAX_TIMES,
     ):
         self.web = {canonicalize(p["url"]): p for p in gen_web(spec)}
         self.policy = {p["host"]: p for p in gen_host_policy(spec)}
@@ -93,6 +97,7 @@ class GoldenCrawl:
         self.max_waves = max_waves
         self.obey_robots = obey_robots
         self.retry_times = retry_times
+        self.redirect_max_times = redirect_max_times
 
         self.seen: set[str] = set()
         self.documents: dict[str, list[dict]] = {}
@@ -173,6 +178,45 @@ class GoldenCrawl:
             for r in dispatch:
                 page = self.web.get(r["canonical_url"])
                 status = page["status"] if page else 404
+                if (
+                    status in schemas.REDIRECT_HTTP_CODES
+                    and page
+                    and page.get("location")
+                ):
+                    # RedirectMiddleware: follow unless opted out; the
+                    # target is an ordinary candidate (link_pos -1 so
+                    # it sorts before the page's links), +2 priority,
+                    # 302/303 downgrade to GET, chain capped at
+                    # redirect_max_times via meta
+                    meta = r["meta"] or {}
+                    if str(meta.get("dont_redirect", "")).lower() in ("", "0", "false"):
+                        times = int(meta.get("redirect_times", 0))
+                        if times < self.redirect_max_times:
+                            method = r.get("method", "GET")
+                            keep = status in (301, 307, 308) or method.upper() == "HEAD"
+                            trail = meta.get("redirect_urls")
+                            new_meta = dict(
+                                meta,
+                                redirect_times=str(times + 1),
+                                redirect_urls=(
+                                    trail + "|" + r["url"] if trail else r["url"]
+                                ),
+                            )
+                            new_cands.append(
+                                {
+                                    "parent_seq": r["discovered_seq"],
+                                    "link_pos": -1,
+                                    "url": urljoin(r["url"], page["location"]),
+                                    "meta": new_meta,
+                                    "priority": r["priority"]
+                                    + schemas.REDIRECT_PRIORITY_ADJUST,
+                                    "attempt": 0,
+                                    "dont_filter": r["dont_filter"],
+                                    "method": method if keep else "GET",
+                                    "body": r.get("body") if keep else None,
+                                }
+                            )
+                    continue  # a 3xx never parses and never retries
                 if status != 200:
                     if status in schemas.RETRY_HTTP_CODES and r["attempt"] < self.retry_times:
                         rr = dict(r)
@@ -216,7 +260,9 @@ class GoldenCrawl:
                 cu = canonicalize(c["url"])
                 c["canonical_url"] = cu
                 c["host"] = host_of(cu)
-                c["fingerprint"] = fingerprint("GET", cu, None)
+                c["fingerprint"] = fingerprint(
+                    c.get("method", "GET"), cu, c.get("body")
+                )
                 c["discovered_seq"] = seq
             admitted = self._admit(new_cands)
             pending = deferred + admitted + retries

@@ -405,7 +405,10 @@ def test_crawl_oracle_fixture_is_fresh():
 
     from spider_spark.synth import WebSpec
 
-    spec = WebSpec(seed=42, n_hosts=3, pages_per_host=1, details_per_page=3)
+    spec = WebSpec(
+        seed=42, n_hosts=3, pages_per_host=1, details_per_page=3,
+        redirect_rate=0.34,
+    )
     g = GoldenCrawl(spec, wave_seconds=4.0, max_waves=30)
     g.run()
     expected = sorted(
@@ -640,8 +643,8 @@ def test_handle_httpstatus_list(spark, tmp_path):
     span = [("text", "guarded content", None, 0)]
     web = spark.createDataFrame(
         [
-            ("http://h1/a", "h1", 401, [], span, False),
-            ("http://h2/a", "h2", 401, [], span, False),
+            ("http://h1/a", "h1", 401, [], span, False, None),
+            ("http://h2/a", "h2", 401, [], span, False, None),
         ],
         schemas.WEB_PAGES,
     )
@@ -716,3 +719,155 @@ def test_inject_dedup_against_pending(spark, tmp_path):
     # and the injected fingerprint is still there exactly once
     assert merged.filter(F.col("fingerprint") == one["fingerprint"]).count() == 1
     eng.close(); eng2.close()
+
+
+# ---------------------------------------------------------------------------
+# RedirectMiddleware analog (3xx follow)
+# ---------------------------------------------------------------------------
+
+REDIR_SPEC = WebSpec(
+    seed=7, n_hosts=4, pages_per_host=2, details_per_page=4, redirect_rate=0.5
+)
+
+
+def test_redirect_crawl_matches_golden(spark, tmp_path):
+    """With half the detail pages hidden behind 3xx aliases (mixed
+    301/302/307, some 2-hop chains), the engine's seen set and span
+    sequences still equal the golden model's — redirect targets are
+    followed, deduped, and their documents land under the FINAL url's
+    doc_id."""
+    from spider_spark.synth import gen_web
+
+    web = gen_web(REDIR_SPEC)
+    alias = [p for p in web if "/go/" in p["url"]]
+    assert alias, "spec must produce redirect aliases"
+    assert any("/go2/" in p["url"] for p in web), "spec must produce a 2-hop chain"
+    assert {p["status"] for p in alias} >= {301, 302}
+
+    eng, totals, _store = run_engine(spark, tmp_path, spec=REDIR_SPEC)
+    g = golden(spec=REDIR_SPEC)
+    engine_seen = {r["fingerprint"] for r in eng.url_seen().collect()}
+    assert engine_seen == g.seen
+
+    rows = eng.documents().select("doc_id", "spans").collect()
+    engine_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+    golden_docs = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for d, spans in g.documents.items()
+    }
+    assert engine_docs == golden_docs
+    # documents behind aliases were actually reached
+    aliased_docs = {
+        f"{p['host']}/detail/{p['url'].rsplit('/', 1)[-1]}" for p in alias
+    }
+    assert aliased_docs & set(engine_docs)
+    eng.close()
+
+
+def test_redirect_loop_terminates(spark, tmp_path):
+    """a -> b -> a: the second request for `a` has the fingerprint the
+    dupe filter already recorded, so the loop dies after two fetches
+    (Scrapy kills loops the same way)."""
+    web = spark.createDataFrame(
+        [
+            ("http://h1/loop/a", "h1", 301, [], [], False, "/loop/b"),
+            ("http://h1/loop/b", "h1", 302, [], [], False, "http://h1/loop/a"),
+        ],
+        schemas.WEB_PAGES,
+    )
+    policy = spark.createDataFrame([("h1", 0.1, 16, [])], schemas.HOST_POLICY)
+    seeds = spark.createDataFrame([("http://h1/loop/a", "s", {}, 0)], schemas.SEEDS)
+    store = SnapshotStore(spark, str(tmp_path / "loop"))
+    eng = CrawlEngine(
+        spark, web, policy, store, CrawlConfig(crawl_id="t", n_buckets=4, max_waves=10)
+    )
+    totals = eng.run(seeds)
+    assert totals["fetched"] == 2
+    assert eng.url_seen().count() == 2
+    eng.close()
+
+
+def test_redirect_chain_cap(spark, tmp_path):
+    """A 5-hop chain: with redirect_max_times=3 the final page is never
+    reached; with the default cap (20) it is fetched and parsed."""
+    rows = [
+        (f"http://h1/hop/{i}", "h1", 301, [], [], False, f"/hop/{i + 1}")
+        for i in range(5)
+    ]
+    rows.append(
+        ("http://h1/hop/5", "h1", 200, [],
+         [("text", "end of chain", None, 0)], False, None)
+    )
+    web = spark.createDataFrame(rows, schemas.WEB_PAGES)
+    policy = spark.createDataFrame([("h1", 0.1, 16, [])], schemas.HOST_POLICY)
+    seeds = spark.createDataFrame([("http://h1/hop/0", "s", {}, 0)], schemas.SEEDS)
+
+    store = SnapshotStore(spark, str(tmp_path / "capped"))
+    eng = CrawlEngine(
+        spark, web, policy, store,
+        CrawlConfig(crawl_id="t", n_buckets=4, max_waves=10, redirect_max_times=3),
+    )
+    totals = eng.run(seeds)
+    assert totals["fetched"] == 4  # hop/0..hop/3; hop/4 blocked by the cap
+    assert totals["docs"] == 0
+    eng.close()
+
+    store2 = SnapshotStore(spark, str(tmp_path / "uncapped"))
+    eng2 = CrawlEngine(
+        spark, web, policy, store2,
+        CrawlConfig(crawl_id="t", n_buckets=4, max_waves=10),
+    )
+    totals2 = eng2.run(seeds)
+    assert totals2["fetched"] == 6
+    assert totals2["docs"] == 1
+    docs = eng2.documents().collect()
+    assert docs[0]["doc_id"] == "h1/hop/5"
+    eng2.close()
+
+
+def test_redirect_candidates_unit(spark):
+    """Column-level Scrapy semantics of spans.redirect_candidates:
+    301/307/308 + HEAD keep method/body, 302/303 downgrade to GET;
+    dont_redirect meta and handled statuses (_parse_ok) suppress;
+    redirect_times increments and the url trail accumulates."""
+    from spider_spark.operators.spans import redirect_candidates
+
+    cols = (
+        "crawl_id string, url string, method string, body string, "
+        "source string, meta map<string,string>, priority int, "
+        "attempt int, dont_filter boolean, discovered_seq long, "
+        "status int, location string, _parse_ok boolean"
+    )
+    rows = [
+        # POST + 307 keeps method and body
+        ("c", "http://h/a", "POST", "x=1", "s", {}, 0, 0, False, 1, 307, "/t1", False),
+        # POST + 302 downgrades to GET, body dropped
+        ("c", "http://h/b", "POST", "x=1", "s", {}, 0, 0, False, 2, 302, "/t2", False),
+        # dont_redirect opt-out (aryes_be.py:80)
+        ("c", "http://h/c", "GET", None, "s", {"dont_redirect": "true"}, 0, 0, False, 3, 302, "/t3", False),
+        # status handled by handle_httpstatus_list -> parse, not redirect
+        ("c", "http://h/d", "GET", None, "s", {}, 0, 0, False, 4, 301, "/t4", True),
+        # second hop: times increments, trail accumulates, priority rises again
+        ("c", "http://h/e", "GET", None, "s",
+         {"redirect_times": "1", "redirect_urls": "http://h/e0"}, 2, 0, False, 5, 301, "/t5", False),
+        # plain 200 never redirects
+        ("c", "http://h/f", "GET", None, "s", {}, 0, 0, False, 6, 200, None, True),
+    ]
+    out = {
+        r["parent_seq"]: r
+        for r in redirect_candidates(spark.createDataFrame(rows, cols)).collect()
+    }
+    assert set(out) == {1, 2, 5}
+    assert (out[1]["method"], out[1]["body"]) == ("POST", "x=1")
+    assert out[1]["url"] == "http://h/t1"
+    assert out[1]["meta"]["redirect_times"] == "1"
+    assert out[1]["meta"]["redirect_urls"] == "http://h/a"
+    assert out[1]["priority"] == schemas.REDIRECT_PRIORITY_ADJUST
+    assert (out[2]["method"], out[2]["body"]) == ("GET", None)
+    assert out[5]["meta"]["redirect_times"] == "2"
+    assert out[5]["meta"]["redirect_urls"] == "http://h/e0|http://h/e"
+    assert out[5]["priority"] == 2 + schemas.REDIRECT_PRIORITY_ADJUST
+    assert out[5]["link_pos"] == -1

@@ -27,7 +27,10 @@ from spider_spark.synth import WebSpec  # noqa: E402
 from tests.golden_model import GoldenCrawl  # noqa: E402
 
 #: must mirror __spark_entry__.q_crawl_end_to_end exactly
-SPEC = WebSpec(seed=42, n_hosts=3, pages_per_host=1, details_per_page=3)
+SPEC = WebSpec(
+    seed=42, n_hosts=3, pages_per_host=1, details_per_page=3,
+    redirect_rate=0.34,
+)
 WAVE_SECONDS = 4.0
 MAX_WAVES = 30
 
