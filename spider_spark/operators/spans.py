@@ -52,6 +52,15 @@ def _doc_key() -> F.Column:
     )
 
 
+def page_etag(spans_col: str = "spans") -> F.Column:
+    """Deterministic content validator (the ETag analog): sha1 of the
+    RAW page spans' JSON. The synthetic fetch computes the same
+    expression server-side, so ``If-None-Match == page_etag`` is the
+    conditional-GET revalidation check; a span change implies a new
+    etag by construction."""
+    return F.sha1(F.to_json(F.struct(spans_col)))
+
+
 def extract_documents(fetched_ok: DataFrame) -> DataFrame:
     """Detail pages -> documents rows (doc_id, spans, lineage cols).
 
@@ -59,10 +68,19 @@ def extract_documents(fetched_ok: DataFrame) -> DataFrame:
     fragment row per page (same effective doc_id), merged downstream by
     :func:`merge_document_fragments`. ``has_continuation`` marks pages
     that emitted follow-up links, so the merge can cheaply isolate the
-    fragment subset.
+    fragment subset. ``attrs['__etag']`` stores the page's content
+    validator so a later incremental recrawl can send it back as
+    If-None-Match (engine.recrawl_candidates(conditional=True)).
     """
     details = fetched_ok.filter(
         (~F.col("is_listing_page")) & (F.size(F.coalesce(F.col("spans"), F.array())) > 0)
+    )
+    attrs = F.map_concat(
+        F.map_filter(
+            F.coalesce(F.col("meta"), F.create_map()),
+            lambda k, _: ~k.isin("__etag", "if_none_match"),
+        ),
+        F.create_map(F.lit("__etag"), page_etag()),
     )
     return details.select(
         _doc_key().alias("doc_id"),
@@ -71,7 +89,7 @@ def extract_documents(fetched_ok: DataFrame) -> DataFrame:
         F.col("host"),
         F.col("wave"),
         F.col("discovered_seq").alias("position"),
-        F.col("meta").alias("attrs"),
+        attrs.alias("attrs"),
         (F.size(F.coalesce(F.col("out_links"), F.array())) > 0).alias(
             "has_continuation"
         ),
@@ -150,9 +168,14 @@ def extract_links(fetched_ok: DataFrame) -> DataFrame:
     document (multi-page item assembly, ``15walmer.py:112``).
     """
     listings = fetched_ok.filter(F.size(F.coalesce(F.col("out_links"), F.array())) > 0)
-    base_meta = F.coalesce(F.col("meta"), F.create_map())
+    # child requests never inherit the parent's conditional-GET
+    # validator — If-None-Match is per-resource
+    base_meta = F.map_filter(
+        F.coalesce(F.col("meta"), F.create_map()),
+        lambda k, _: k != F.lit("if_none_match"),
+    )
     child_meta = F.when(
-        F.col("is_listing_page"), F.col("meta")
+        F.col("is_listing_page"), base_meta
     ).otherwise(
         F.map_concat(
             F.map_filter(base_meta, lambda k, v: k != F.lit("doc_id")),

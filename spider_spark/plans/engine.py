@@ -52,6 +52,15 @@ class CrawlConfig:
     #: meta={'dont_redirect': true}
     redirect_max_times: int = schemas.REDIRECT_MAX_TIMES
     redirect_priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST
+    #: conditional-GET recrawls: recrawl_candidates sends the stored
+    #: content validator as meta['if_none_match']; unchanged pages come
+    #: back 304 (no body, no re-parse, no document row) and land in a
+    #: ``revalidations`` table that feeds the change-rate estimator.
+    #: At web scale most recrawl fetches ARE 304s, so this is the
+    #: incremental crawl's dominant bandwidth/storage saving. Off by
+    #: default: plain crawls skip the (empty) per-wave revalidation
+    #: write entirely.
+    conditional_get: bool = False
     use_bloom: bool = False  # exact anti-join by default; Bloom is opt-in
     seen_backend: str | None = None  # None->use_bloom flag; "exact"|"bloom"|"cuckoo"
     bloom_capacity: int = 1 << 20
@@ -428,6 +437,25 @@ class CrawlEngine:
                     if link_edges is not None
                     else None
                 )
+                reval_fut = None
+                if cfg.conditional_get:
+                    # 304-revalidated rows: confirmed unchanged without
+                    # a body — record the observation for the
+                    # change-rate estimator (fetch_history unions this)
+                    reval = fetched.filter(F.col("status") == 304).select(
+                        "crawl_id",
+                        "url",
+                        F.col("wave"),
+                        F.element_at(
+                            F.coalesce(F.col("meta"), F.create_map()),
+                            "if_none_match",
+                        ).alias("content_digest"),
+                        "source",
+                        F.col("meta"),
+                    )
+                    reval_fut = pool.submit(
+                        self.store.write_wave, "revalidations", wave, reval
+                    )
                 t_p = time.monotonic()
                 a_row = obs_admitted.get  # blocks until the frontier write fires it
                 prof["stats_s"] = round(time.monotonic() - t_p, 3)
@@ -457,7 +485,12 @@ class CrawlEngine:
                     .groupBy("crawl_id", "host_bucket")
                     .agg(
                         F.count("*").alias("fetched"),
-                        F.sum((~F.col("_parse_ok")).cast("long")).alias("retried"),
+                        F.sum(
+                            (
+                                ~F.col("_parse_ok")
+                                & (F.col("status") != 304)  # revalidation, not failure
+                            ).cast("long")
+                        ).alias("retried"),
                         F.sum(
                             (
                                 F.col("_parse_ok")
@@ -509,6 +542,8 @@ class CrawlEngine:
                 seen_fut.result()
                 if links_fut is not None:
                     links_fut.result()
+                if reval_fut is not None:
+                    reval_fut.result()
                 metrics_fut.result()
                 prof["writes_s"] = round(time.monotonic() - t_p, 3)
             f_row = obs_fetched.get  # fired by the metrics write
@@ -612,17 +647,40 @@ class CrawlEngine:
             .select(F.col("discovered_seq").alias("position"), "url")
             .distinct()
         )
-        return raw.join(requests, "position").select(
+        hist = raw.join(requests, "position").select(
             "url",
             (F.col("wave").cast("double") * float(self.cfg.wave_seconds)).alias(
                 "fetch_time"
             ),
-            # digest the CONTENT (spans) only — attrs is request-side
-            # meta lineage; a re-fetch that parses identically must
-            # count as unchanged even if its meta chain differs
-            F.sha1(F.to_json(F.struct("spans"))).alias("content_digest"),
+            # digest = the page's content validator (attrs['__etag'],
+            # stamped by extract_documents over the RAW page spans;
+            # sha1-of-stored-spans fallback for pre-etag stores) — NOT
+            # the meta chain: a re-fetch that parses identically must
+            # count as unchanged. Using the validator keeps full-fetch
+            # and 304-revalidation digests comparable.
+            F.coalesce(
+                F.element_at(F.coalesce(F.col("attrs"), F.create_map()), "__etag"),
+                F.sha1(F.to_json(F.struct("spans"))),
+            ).alias("content_digest"),
             "source",
             F.col("attrs").alias("attrs"),
+        )
+        # 304 revalidations are fetches too — the estimator must see
+        # the unchanged observation or conditional recrawls would
+        # starve it (table is empty unless conditional_get ran)
+        reval = self.store.read_table(
+            "revalidations", "append", schema=schemas.REVALIDATIONS
+        )
+        return hist.unionByName(
+            reval.select(
+                "url",
+                (F.col("wave").cast("double") * float(self.cfg.wave_seconds)).alias(
+                    "fetch_time"
+                ),
+                "content_digest",
+                "source",
+                F.col("meta").alias("attrs"),
+            )
         )
 
     def recrawl_candidates(
@@ -630,15 +688,23 @@ class CrawlEngine:
         now_s: float,
         min_interval_s: float = 3600.0,
         max_interval_s: float = 30.0 * 86400.0,
+        conditional: bool | None = None,
     ) -> DataFrame:
         """Due-for-revisit URLs as a seeds-shaped DataFrame
         (url, source, meta, priority, dont_filter=True) — feed into
         ``run(cands, resume=True, inject=True)`` for an incremental
         recrawl wave. Rates come from the Cho/Garcia-Molina estimator
         over :meth:`fetch_history`; ``dont_filter=True`` re-admits URLs
-        past the seen set (their fingerprints are already recorded)."""
+        past the seen set (their fingerprints are already recorded).
+
+        ``conditional`` (default: ``cfg.conditional_get``) sends the
+        last known content validator as ``meta['if_none_match']`` so
+        unchanged pages revalidate with a 304 instead of a full
+        re-fetch + re-parse + duplicate document generation."""
         from ..operators import revisit as RV
 
+        if conditional is None:
+            conditional = self.cfg.conditional_get
         hist = self.fetch_history()
         sched = RV.change_rate_schedule(
             hist, min_interval_s=min_interval_s, max_interval_s=max_interval_s
@@ -651,10 +717,31 @@ class CrawlEngine:
             F.max_by("source", "fetch_time").alias("source"),
             F.max_by("attrs", "fetch_time").alias("meta"),
         )
+        base = F.coalesce(
+            F.col("meta").cast(schemas.SEEDS["meta"].dataType), F.create_map()
+        )
+        # the stored validator: __etag from a full fetch, or the
+        # if_none_match a 304 revalidation echoed
+        validator = F.coalesce(
+            F.element_at(base, "__etag"), F.element_at(base, "if_none_match")
+        )
+        clean = F.map_filter(
+            base, lambda k, _: ~k.isin("__etag", "if_none_match")
+        )
+        meta = (
+            F.when(
+                validator.isNotNull(),
+                F.map_concat(
+                    clean, F.create_map(F.lit("if_none_match"), validator)
+                ),
+            ).otherwise(clean)
+            if conditional
+            else clean
+        )
         return due.join(src, "url").select(
             "url",
             "source",
-            F.col("meta").cast(schemas.SEEDS["meta"].dataType).alias("meta"),
+            meta.alias("meta"),
             F.lit(0).alias("priority"),
             F.lit(True).alias("dont_filter"),
         )

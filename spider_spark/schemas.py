@@ -111,6 +111,21 @@ URL_SEEN = T.StructType(
     ]
 )
 
+#: one row per 304-revalidated fetch (conditional GET): the page was
+#: confirmed UNCHANGED without re-parsing or re-storing it. Unioned
+#: into fetch_history so the change-rate estimator sees the unchanged
+#: observation (otherwise 304s would starve it).
+REVALIDATIONS = T.StructType(
+    [
+        T.StructField("crawl_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("content_digest", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
 URL_SEEN_FILTERS = T.StructType(
     [
         T.StructField("crawl_id", T.StringType(), False),

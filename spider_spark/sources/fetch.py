@@ -82,10 +82,40 @@ def canonical_web(web_pages: DataFrame) -> DataFrame:
 
 
 def fetch_synthetic(dispatch: DataFrame, web_canonical: DataFrame) -> DataFrame:
-    """Left join the dispatch set to the web; missing page => 404."""
+    """Left join the dispatch set to the web; missing page => 404.
+
+    Conditional GET: a request whose ``meta['if_none_match']`` equals
+    the page's current content validator (``spans.page_etag`` — the
+    server computes the same expression) gets **304 Not Modified** with
+    no body: spans nulled, no out_links. Only successful (200) pages
+    evaluate the conditional, like a real origin server."""
     fetched = with_user_agent(dispatch).join(
         web_canonical, on="canonical_url", how="left"
     )
+    if "meta" in dispatch.columns:
+        from ..operators.spans import page_etag
+
+        inm = F.element_at(
+            F.coalesce(F.col("meta"), F.create_map()), "if_none_match"
+        )
+        not_modified = (
+            inm.isNotNull() & (F.col("status") == 200) & (inm == page_etag())
+        )
+        fetched = (
+            fetched.withColumn(
+                "status", F.when(not_modified, F.lit(304)).otherwise(F.col("status"))
+            )
+            .withColumn(
+                "spans",
+                F.when(not_modified, F.lit(None).cast(fetched.schema["spans"].dataType))
+                .otherwise(F.col("spans")),
+            )
+            .withColumn(
+                "out_links",
+                F.when(not_modified, F.array().cast("array<string>"))
+                .otherwise(F.col("out_links")),
+            )
+        )
     return (
         fetched.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
         .withColumn("out_links", F.coalesce(F.col("out_links"), F.array().cast("array<string>")))

@@ -871,3 +871,101 @@ def test_redirect_candidates_unit(spark):
     assert out[5]["meta"]["redirect_urls"] == "http://h/e0|http://h/e"
     assert out[5]["priority"] == 2 + schemas.REDIRECT_PRIORITY_ADJUST
     assert out[5]["link_pos"] == -1
+
+
+# ---------------------------------------------------------------------------
+# Conditional GET (If-None-Match / 304) recrawls
+# ---------------------------------------------------------------------------
+
+
+def test_conditional_recrawl_revalidates_unchanged(spark, tmp_path):
+    """conditional_get=True: recrawl of a STATIC web sends the stored
+    validator and every due page comes back 304 — zero new document
+    rows, a revalidations row per due URL, and the change-rate
+    estimator still sees the unchanged observation (n_changes=0,
+    interval backs off to max) exactly as a full re-fetch would."""
+    from spider_spark.operators import revisit as RV
+
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=2,
+                   retry_rate=0.0)
+    store = SnapshotStore(spark, str(tmp_path / "cg"))
+    cfg = CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30, conditional_get=True)
+    eng = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg)
+    t1 = eng.run(seeds_df(spark, spec))
+    assert t1["docs"] > 0
+    docs1 = eng.documents().count()
+    seen1 = eng.url_seen().count()
+
+    cands = eng.recrawl_candidates(now_s=1e9)
+    n_due = cands.count()
+    assert n_due > 0
+    # every candidate carries the validator
+    assert cands.filter(
+        F.element_at(F.coalesce(F.col("meta"), F.create_map()), "if_none_match").isNull()
+    ).count() == 0
+
+    t2 = eng.run(cands, resume=True, inject=True)
+    assert t2["fetched"] >= n_due
+    assert t2["docs"] == 0  # all 304 — nothing re-parsed or re-stored
+    assert eng.documents().count() == docs1  # no duplicate generations
+    assert eng.url_seen().count() == seen1
+    reval = store.read_table("revalidations", "append", schema=schemas.REVALIDATIONS)
+    assert reval.filter(F.col("content_digest").isNotNull()).count() == n_due
+    # the estimator still sees the unchanged observation
+    sched = RV.change_rate_schedule(eng.fetch_history())
+    multi = sched.filter(F.col("n_fetches") >= 2)
+    assert multi.count() >= n_due
+    assert multi.filter(F.col("n_changes") != 0).count() == 0
+    assert multi.filter(F.col("revisit_interval_s") != 30.0 * 86400.0).count() == 0
+    eng.close()
+
+
+def test_conditional_recrawl_fetches_changed_page(spark, tmp_path):
+    """A page whose spans CHANGED since the stored generation fails
+    revalidation (validator mismatch) and is re-fetched in full: new
+    document generation, 200 status, n_changes=1 for that URL; the
+    untouched pages still 304."""
+    from spider_spark.synth import gen_web
+
+    spec = WebSpec(seed=7, n_hosts=2, pages_per_host=1, details_per_page=3,
+                   retry_rate=0.0, split_item_rate=0.0)
+    store = SnapshotStore(spark, str(tmp_path / "cgc"))
+    cfg = CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30, conditional_get=True)
+    eng = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg)
+    eng.run(seeds_df(spark, spec))
+    docs1 = eng.documents().count()
+
+    # mutate ONE detail page's content, keep everything else identical
+    pages = gen_web(spec)
+    changed_url = next(
+        p["url"] for p in pages if not p["is_listing_page"] and p["spans"]
+    )
+    for p in pages:
+        if p["url"] == changed_url:
+            p["spans"] = [
+                {"kind": "text", "text": "freshly edited content",
+                 "media_ref": None, "offset": 0}
+            ]
+    web2 = spark.createDataFrame(pages, schema=schemas.WEB_PAGES)
+    eng2 = CrawlEngine(spark, web2, host_policy_df(spark, spec), store, cfg)
+
+    cands = eng2.recrawl_candidates(now_s=1e9)
+    n_due = cands.count()
+    assert n_due > 1
+    t2 = eng2.run(cands, resume=True, inject=True)
+    assert t2["docs"] == 1  # only the changed page re-parsed
+    assert eng2.documents().count() == docs1 + 1
+    reval = store.read_table("revalidations", "append", schema=schemas.REVALIDATIONS)
+    assert reval.count() == n_due - 1  # everyone else revalidated
+    changed_doc = changed_url.split("://", 1)[1]
+    latest = {
+        r["doc_id"]: r["spans"]
+        for r in eng2.documents(latest_only=True).collect()
+    }
+    assert latest[changed_doc][0]["text"] == "freshly edited content"
+    # estimator: exactly one URL observed a change
+    from spider_spark.operators import revisit as RV
+
+    sched = RV.change_rate_schedule(eng2.fetch_history())
+    assert sched.filter(F.col("n_changes") > 0).count() == 1
+    eng.close(); eng2.close()
