@@ -89,10 +89,20 @@ def main():
     probe_lo_runs = [cpu_probe(lo), cpu_probe(lo)]
     probe_hi_runs = [cpu_probe(hi), cpu_probe(hi)]
 
-    runs_lo, runs_hi = [], []
+    runs_lo, runs_hi, rep_meta = [], [], []
     for _ in range(reps):  # interleave lo/hi so box drift hits both equally
+        load_before = os.getloadavg()[0]
         runs_lo.append(run_at(lo, n))
+        load_mid = os.getloadavg()[0]
         runs_hi.append(run_at(hi, n))
+        # loadavg includes OUR bench JVM (~lo or ~hi runnable threads);
+        # the externally-attributable load is what exceeds that, sampled
+        # right before each run starts while the box is briefly quiet.
+        rep_meta.append({
+            "t": datetime.now(timezone.utc).strftime("%H:%M:%SZ"),
+            "load_before_lo": round(load_before, 2),
+            "load_before_hi": round(load_mid, 2),
+        })
     probe_lo_runs.append(cpu_probe(lo))
     probe_hi_runs.append(cpu_probe(hi))
     probe_lo = statistics.median(probe_lo_runs)
@@ -113,6 +123,16 @@ def main():
         )
     )
     eff = (t_lo / t_hi) / (hi / lo)
+    # time-ordered adjacent pairing: rep i's lo vs rep i's hi. When box
+    # drift is monotone over the study (the observed failure mode on
+    # this shared box), adjacent pairs see nearly the same external
+    # conditions, so their per-rep efficiencies isolate the engine from
+    # the drift in a way cross-rep medians cannot.
+    eff_adjacent = [
+        round((a["queries"]["frontier_wave"] / b["queries"]["frontier_wave"])
+              / (hi / lo), 3)
+        for a, b in zip(runs_lo, runs_hi)
+    ]
     result = {
         "n_urls": n,
         "cores_lo": lo,
@@ -127,6 +147,10 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_worst_pairing": round(eff_all[0], 3),
         "scaling_efficiency_best_pairing": round(eff_all[-1], 3),
+        "scaling_efficiency_adjacent_pairs": eff_adjacent,
+        "scaling_efficiency_adjacent_median": round(
+            statistics.median(eff_adjacent), 3),
+        "rep_meta": rep_meta,
         "hw_ceiling_lo_to_hi": round(ceiling, 3),
         "scaling_efficiency_normalized": round(eff / ceiling, 3),
         "cpu_probe_s": {
@@ -144,6 +168,13 @@ def main():
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     lo_list = ", ".join(f"{t:.1f}" for t in t_lo_all)
     hi_list = ", ".join(f"{t:.1f}" for t in t_hi_all)
+    rep_rows = "\n".join(
+        f"| {i + 1} | {m['t']} | {m['load_before_lo']} | "
+        f"{rl['queries']['frontier_wave']:.1f} | {m['load_before_hi']} | "
+        f"{rh['queries']['frontier_wave']:.1f} | {e:.3f} |"
+        for i, (m, rl, rh, e) in enumerate(
+            zip(rep_meta, runs_lo, runs_hi, eff_adjacent))
+    )
     (bench_dir / "BASELINE.md").write_text(f"""# BENCH baseline — measured ({stamp})
 
 Frontier wave = canonicalize (Arrow UDF) -> fingerprint (JVM sha1) ->
@@ -167,6 +198,18 @@ raw; {result['scaling_efficiency_normalized']} normalized to this box's
 hardware ceiling** (north-rule target >= 0.8). Pairing the sorted run
 lists best-vs-worst bounds the raw estimate to
 [{result['scaling_efficiency_worst_pairing']}, {result['scaling_efficiency_best_pairing']}].
+
+Per-rep (time-ordered, adjacent lo/hi pairing — when box drift is
+monotone over the study, adjacent pairs see nearly identical external
+conditions, so their ratios isolate the engine from the drift;
+`load` = 1-min loadavg sampled just before each run starts):
+
+| rep | start | load (lo) | lo wall (s) | load (hi) | hi wall (s) | efficiency |
+|---|---|---|---|---|---|---|
+{rep_rows}
+
+Adjacent-pair efficiency median:
+**{result['scaling_efficiency_adjacent_median']}**.
 
 The normalization is NOT a fudge factor — it is measured, Spark-free,
 on this box for this report: {lo} busy Python processes (fixed work
