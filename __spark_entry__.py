@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from spider_spark.functions import normalize as N
 from spider_spark.functions import text as TX
+from spider_spark.functions import urls as U
 from spider_spark.functions.urls import canonicalize_udf
 from spider_spark.operators import ann as ANN
 from spider_spark.operators import dedup as D
@@ -116,10 +117,43 @@ _PII_PHONE_SQL = r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{2,4}"
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """canonicalize_udf on the messy URL must equal the independently
     constructed canonical form (lowercase scheme/host, default-port strip,
-    fragment strip, query-param sort) — SURVEY.md §2.2."""
+    fragment strip, query-param sort) — SURVEY.md §2.2. Round 4 folds in
+    the crawler-trap fence signals (functions/urls.py, Mercator WWW'99 /
+    IRLbot WWW'08 / Heritrix decide-rule shapes): a trap-shaped URL is
+    synthesized per row with seq-driven repetition/depth/param/length
+    padding, and the five fence columns (path_depth, max_seg_repeat,
+    n_params, url_len, is_trap) are oracle-checked against DuckDB's
+    independent list-lambda computation."""
     fr = _frontier(spark, sf_dir)
+    seq = F.col("seq")
+    base_no_q = F.substring_index(F.col("canonical_url"), "?", 1)
+    loop_pad = F.repeat(F.lit("/loop"), (seq % 5).cast("int"))
+    depth_pad = F.substring(
+        F.lit("/a/b/c/d/e/f/g/h/i/j/k/l/m/n/o/p/q/r/s/t"),
+        1,
+        ((seq % 9) * 4).cast("int"),
+    )
+    long_pad = F.repeat(F.lit("x"), ((seq % 7) * 400).cast("int"))
+    extra_params = F.substring(
+        F.lit(
+            "&p01=1&p02=1&p03=1&p04=1&p05=1&p06=1&p07=1"
+            "&p08=1&p09=1&p10=1&p11=1&p12=1&p13=1&p14=1"
+        ),
+        1,
+        ((seq % 15) * 6).cast("int"),
+    )
+    trap_url = F.concat(
+        base_no_q, loop_pad, depth_pad, F.lit("/"), long_pad,
+        F.lit("?a=1&b=2"), extra_params,
+    )
     return fr.select(
-        F.col("seq"), canonicalize_udf(F.col("url")).alias("canonical_url")
+        F.col("seq"),
+        canonicalize_udf(F.col("url")).alias("canonical_url"),
+        U.path_depth_col(trap_url).alias("path_depth"),
+        U.max_segment_repeat_col(trap_url).alias("max_seg_repeat"),
+        U.query_param_count_col(trap_url).alias("n_params"),
+        F.length(trap_url).cast("int").alias("url_len"),
+        U.is_trap_col(trap_url).alias("is_trap"),
     )
 
 
@@ -805,8 +839,20 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (every ' table ' becomes a bullet line break;
     doc_id%4==0 docs gain a trailing ellipsis) to exercise the
     line-based signals; tokens/lines/grams are STAGED projections (HOF
-    lambda recompute pitfall)."""
+    lambda recompute pitfall). Round 4 folds in the self-trained
+    unigram-LM quality score (operators/lmquality — the CCNet/GPT-3
+    LM-scoring pipeline shape with the KenLM stage as a corpus-fit
+    unigram model; min_count=2 + vocab_cap=4096 exercise both model
+    bounds) as lp_e3, the per-doc average log-prob quantized to 1e-3
+    integer units for hash stability."""
+    from spider_spark.operators import lmquality as LM
+
     docs = _t(spark, sf_dir, "documents")
+    model = LM.fit_unigram(docs, min_count=2, vocab_cap=4096)
+    lp = LM.score_unigram(docs, model).select(
+        "doc_id",
+        F.floor(F.col("avg_logp") * 1000 + F.lit(0.5)).cast("bigint").alias("lp_e3"),
+    )
     lined0 = F.replace(F.col("text"), F.lit(" table "), F.lit("\n- "))
     lined = F.when(F.col("doc_id") % 4 == 0, F.concat(lined0, F.lit("..."))).otherwise(
         lined0
@@ -843,7 +889,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.gopher_pass(
             F.size(F.col("toks")), mean_wl, sym_ratio, dupline, bullet, ellipsis, top2
         ).alias("gopher_pass"),
-    )
+    ).join(lp, "doc_id")
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,15 +945,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem (src = l_orderkey % 300, dst = l_partkey % 300, parallel
     edges collapsed). The oracle unrolls the same 6 power iterations as
     plain SQL CTEs. Ranks reported in parts-per-million so the driver's
-    4-decimal value hash sees ~6 significant digits."""
+    4-decimal value hash sees ~6 significant digits. Round 4 folds in
+    the damping-free OPIC importance twin (graphrank.opic — Abiteboul,
+    Preda & Cobena WWW'03 cash/history scheme, synchronous batch
+    variant) as opic_ppm over the same graph and round count, oracled
+    by the same unrolled-CTE recursion."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         (F.col("l_orderkey") % 300).alias("src"),
         (F.col("l_partkey") % 300).alias("dst"),
     )
     ranks = GR.pagerank(edges, damping=0.85, n_iter=6)
-    return ranks.select(
-        "node", F.round(F.col("rank") * 1000000, 2).alias("rank_ppm")
+    opic_ranks = GR.opic(edges, n_iter=6).select(
+        "node", F.col("rank").alias("opic")
+    )
+    return ranks.join(opic_ranks, "node").select(
+        "node",
+        F.round(F.col("rank") * 1000000, 2).alias("rank_ppm"),
+        F.round(F.col("opic") * 1000000, 2).alias("opic_ppm"),
     )
 
 
@@ -1865,7 +1920,7 @@ def oracle_sql() -> dict[str, str]:
     # dangling/n), inflow = sum(rank/out_degree) over in-edges.
     def pr_round(prev: str, cur: str) -> str:
         return f"""
-            {cur} AS (
+            {cur} AS MATERIALIZED (
                 SELECT nodes.node,
                        (0.15 / (SELECT n FROM nn))
                        + 0.85 * (coalesce(i.inflow, 0)
@@ -1881,9 +1936,71 @@ def oracle_sql() -> dict[str, str]:
 
     pr_iters = ",".join(pr_round(f"r{i}", f"r{i + 1}") for i in range(6))
 
+    # opic: same unrolled-recursion trick for the cash/history rounds
+    # (graphrank.opic) — bank round-start cash into history, distribute
+    # it over out-edges, dangling cash spread uniformly.
+    def opic_round(prev: str, cur: str) -> str:
+        return f"""
+            {cur} AS MATERIALIZED (
+                SELECT nodes.node,
+                       coalesce(i.inflow, 0)
+                       + (SELECT coalesce(sum(p.cash), 0)
+                          FROM {prev} p LEFT JOIN deg ON deg.src = p.node
+                          WHERE deg.src IS NULL)
+                         / (SELECT n FROM nn) AS cash,
+                       p2.hist + p2.cash AS hist
+                FROM nodes
+                LEFT JOIN (
+                    SELECT ce.dst, sum(p.cash * ce.w) AS inflow
+                    FROM {prev} p JOIN ce ON ce.src = p.node
+                    GROUP BY ce.dst) i ON i.dst = nodes.node
+                JOIN {prev} p2 ON p2.node = nodes.node)"""
+
+    opic_iters = ",".join(opic_round(f"o{i}", f"o{i + 1}") for i in range(6))
+
     return {
         "url_canonicalize": f"""
-            SELECT seq, canonical_url FROM ({_FRONTIER_SQL})
+            WITH fr AS ({_FRONTIER_SQL}),
+            tu AS (
+                SELECT seq, canonical_url,
+                       'http://h' || host_id || '.example/p/' || (seq % 3000)
+                       || repeat('/loop', CAST(seq % 5 AS INT))
+                       || substr('/a/b/c/d/e/f/g/h/i/j/k/l/m/n/o/p/q/r/s/t',
+                                 1, CAST((seq % 9) * 4 AS INT))
+                       || '/' || repeat('x', CAST((seq % 7) * 400 AS INT))
+                       || '?a=1&b=2'
+                       || substr('&p01=1&p02=1&p03=1&p04=1&p05=1&p06=1&p07=1'
+                                 || '&p08=1&p09=1&p10=1&p11=1&p12=1&p13=1&p14=1',
+                                 1, CAST((seq % 15) * 6 AS INT)) AS trap_url
+                FROM fr),
+            parsed AS (
+                SELECT seq, canonical_url, trap_url,
+                       list_filter(string_split(
+                           CASE WHEN regexp_extract(trap_url,
+                                    '^[a-z0-9+.-]+://[^/]*(/[^?#]*)', 1) = ''
+                                THEN '/'
+                                ELSE regexp_extract(trap_url,
+                                    '^[a-z0-9+.-]+://[^/]*(/[^?#]*)', 1)
+                           END, '/'), s -> s != '') AS segs,
+                       regexp_extract(trap_url, '\\?([^#]*)', 1) AS q
+                FROM tu)
+            SELECT seq, canonical_url,
+                   CAST(len(segs) AS INT) AS path_depth,
+                   CAST(coalesce(list_max(list_transform(list_distinct(segs),
+                        d -> len(list_filter(segs, s -> s = d)))), 0) AS INT)
+                       AS max_seg_repeat,
+                   CAST(CASE WHEN q = '' THEN 0
+                        ELSE len(list_filter(string_split(q, '&'), p -> p != ''))
+                        END AS INT) AS n_params,
+                   CAST(length(trap_url) AS INT) AS url_len,
+                   (len(segs) > 16
+                    OR coalesce(list_max(list_transform(list_distinct(segs),
+                        d -> len(list_filter(segs, s -> s = d)))), 0) >= 3
+                    OR (CASE WHEN q = '' THEN 0
+                        ELSE len(list_filter(string_split(q, '&'), p -> p != ''))
+                        END) > 12
+                    OR length(trap_url) > 2048) AS is_trap
+            FROM parsed
         """,
         "frontier_dedup": f"""
             WITH fr AS ({_FRONTIER_SQL}),
@@ -2252,7 +2369,23 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(text) AS DOUBLE) AS n_char
                 FROM h),
             g AS (
-                SELECT *, {_SHINGLES_SQL.format(nm1=1)} AS grams2 FROM s)
+                SELECT *, {_SHINGLES_SQL.format(nm1=1)} AS grams2 FROM s),
+            tc AS MATERIALIZED (
+                SELECT token, count(*) AS n
+                FROM (SELECT unnest(toks) AS token FROM s)
+                GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM tc),
+            vocab AS MATERIALIZED (
+                SELECT token, ln(n / (SELECT t FROM tot)) AS logp
+                FROM tc WHERE n >= 2
+                ORDER BY n DESC, token ASC LIMIT 4096),
+            lp AS (
+                SELECT doc_id,
+                       sum(coalesce(v.logp,
+                           ln(0.5 / (SELECT t FROM tot)))) / count(*) AS avg_lp
+                FROM (SELECT doc_id, unnest(toks) AS token FROM s) x
+                LEFT JOIN vocab v USING (token)
+                GROUP BY doc_id)
             SELECT doc_id, n_tokens, n_bpe, n_punct,
                    CASE WHEN greatest(en,de,fr,it,nl) <= 0 THEN 'und'
                         WHEN en = greatest(en,de,fr,it,nl) THEN 'en'
@@ -2290,8 +2423,9 @@ def oracle_sql() -> dict[str, str]:
                     AND mean_wl >= 3.0 AND mean_wl <= 10.0
                     AND sym_ratio <= 0.1 AND dupline_frac <= 0.30
                     AND bullet_frac <= 0.90 AND ellipsis_frac <= 0.30
-                    AND top2_frac <= 0.20) AS gopher_pass
-            FROM g
+                    AND top2_frac <= 0.20) AS gopher_pass,
+                   CAST(floor(lp.avg_lp * 1000 + 0.5) AS BIGINT) AS lp_e3
+            FROM g LEFT JOIN lp USING (doc_id)
         """,
         "exact_dedup": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -2354,8 +2488,13 @@ def oracle_sql() -> dict[str, str]:
             ce AS (SELECT e.src, e.dst, 1.0 / deg.deg AS w
                    FROM e JOIN deg ON deg.src = e.src),
             r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
-            {pr_iters}
-            SELECT node, round(rank * 1000000, 2) AS rank_ppm FROM r6
+            {pr_iters},
+            o0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash,
+                          CAST(0.0 AS DOUBLE) AS hist FROM nodes),
+            {opic_iters}
+            SELECT r6.node, round(r6.rank * 1000000, 2) AS rank_ppm,
+                   round((o6.hist + o6.cash) / 7.0 * 1000000, 2) AS opic_ppm
+            FROM r6 JOIN o6 ON o6.node = r6.node
         """,
         "revisit": """
             WITH h AS (

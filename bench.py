@@ -33,6 +33,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from spider_spark.functions import text as TX  # noqa: E402
 from spider_spark.functions.urls import with_url_identity  # noqa: E402
 from spider_spark.operators import ann as ANN  # noqa: E402
+from spider_spark.operators import anchortext as AX  # noqa: E402
+from spider_spark.operators import lmquality as LM  # noqa: E402
 from spider_spark.operators import dedup as D  # noqa: E402
 from spider_spark.operators import politeness as P  # noqa: E402
 from spider_spark.operators import textdedup as TD  # noqa: E402
@@ -228,6 +230,23 @@ def bench_queries(spark, sf_dir: str):
             .count()
         )
 
+    def q_lm_quality():
+        # fit + score in one stage: one token shuffle for the model,
+        # broadcast join + doc_id re-agg for the scoring
+        model = LM.fit_unigram(docs, min_count=2, vocab_cap=4096)
+        return LM.score_unigram(docs, model).count()
+
+    def q_anchor_topk():
+        # anchor aggregation over a synthesized edge set at corpus
+        # scale (the HTML-parse Arrow crossing is benched via the
+        # crawl loop; this stage times the aggregate + salted top-k)
+        e = docs.select(
+            F.concat(F.lit("http://h"), (F.col("doc_id") % 97)).alias("src"),
+            F.concat(F.lit("http://t"), (F.col("doc_id") % 11)).alias("dst"),
+            F.substring("text", 1, 16).alias("anchor"),
+        )
+        return AX.anchor_profiles(e, k=10).count()
+
     out = {}
     for name, fn in [
         ("text_scan", q_text_scan),
@@ -239,6 +258,8 @@ def bench_queries(spark, sf_dir: str):
         ("ann_lsh", q_ann_lsh),
         ("ann_ivf", q_ann_ivf),
         ("events_hourly", q_events_hourly),
+        ("lm_quality", q_lm_quality),
+        ("anchor_topk", q_anchor_topk),
     ]:
         # best of 2: single-run numbers are noisy on a shared box
         best = None

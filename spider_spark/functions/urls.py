@@ -288,3 +288,89 @@ def with_url_identity(df, n_buckets: int, url_col: str = "url"):
     body = F.col("body") if "body" in df.columns else F.lit(None).cast("string")
     df = df.withColumn("fingerprint", fingerprint_col(method, F.col("canonical_url"), body))
     return df
+
+# ---------------------------------------------------------------------------
+# Crawler-trap fence (round 4; beyond the reference — SURVEY.md §8).
+#
+# Infinite URL spaces (calendars, session-id mazes, self-linking CGI
+# scripts) are the classic crawler failure mode: Heydon & Najork's
+# Mercator (WWW'99) bounds path depth, Lee et al.'s IRLbot (WWW'08)
+# budgets URL shapes, and Heritrix ships PathologicalPathDecideRule /
+# TooManyPathSegmentsDecideRule with exactly these signals. The
+# reference fleet never needs a fence (each Scrapy spider enumerates a
+# finite listing site), but a 10^10-URL frontier must drop trap-shaped
+# links BEFORE they cost dedup/politeness state — every fenced URL
+# saves a Bloom probe, a seen-set row, and a politeness-window slot.
+#
+# All signals are pure JVM regex/HOF column expressions over the
+# canonical URL (whole-stage codegen; no Python, no shuffle) so the
+# fence is free at admission time.
+# ---------------------------------------------------------------------------
+
+#: Fence thresholds (Heritrix-shaped defaults): TooManyPathSegments
+#: default caps segments, PathologicalPath fires on a segment repeating
+#: 3+ times, IE's historical 2083-char limit is the conventional URL
+#: length cap, and >12 query params is the session-id/calendar shape.
+TRAP_MAX_PATH_DEPTH = 16
+TRAP_MAX_SEG_REPEAT = 3
+TRAP_MAX_QUERY_PARAMS = 12
+TRAP_MAX_URL_LEN = 2048
+
+
+def url_path_col(url: Column) -> Column:
+    """Path component (query/fragment stripped); empty path is ``/``
+    per RFC 9309 (same coalesce as ``operators/robots.robots_check``)."""
+    raw = F.regexp_extract(url, r"^[a-z0-9+.-]+://[^/]*(/[^?#]*)", 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def path_segments_col(url: Column) -> Column:
+    """Non-empty ``/``-separated path segments."""
+    return F.filter(F.split(url_path_col(url), "/"), lambda s: s != "")
+
+
+def path_depth_col(url: Column) -> Column:
+    """Number of path segments (Mercator/Heritrix depth signal)."""
+    return F.size(path_segments_col(url)).cast("int")
+
+
+def max_segment_repeat_col(url: Column) -> Column:
+    """Occurrence count of the most-repeated path segment — the
+    pathological-path signal (``/foo/bar/foo/bar/...`` and
+    ``/x/x/x/...`` both score here). O(k^2) over a per-row array of a
+    few dozen segments: stays a JVM HOF, never a shuffle."""
+    segs = path_segments_col(url)
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(segs),
+                lambda d: F.size(F.filter(segs, lambda s: s == d)),
+            )
+        ),
+        F.lit(0),
+    ).cast("int")
+
+
+def query_param_count_col(url: Column) -> Column:
+    """Number of ``&``-separated query parameters."""
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return F.when(q == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(q, "&"), lambda p: p != ""))
+    ).cast("int")
+
+
+def is_trap_col(
+    url: Column,
+    max_depth: int = TRAP_MAX_PATH_DEPTH,
+    max_repeat: int = TRAP_MAX_SEG_REPEAT,
+    max_params: int = TRAP_MAX_QUERY_PARAMS,
+    max_len: int = TRAP_MAX_URL_LEN,
+) -> Column:
+    """True when any fence signal fires. Thresholds are per-call so a
+    deployment can tighten them per host class; defaults above."""
+    return (
+        (path_depth_col(url) > F.lit(max_depth))
+        | (max_segment_repeat_col(url) >= F.lit(max_repeat))
+        | (query_param_count_col(url) > F.lit(max_params))
+        | (F.length(url) > F.lit(max_len))
+    )

@@ -160,3 +160,80 @@ def rank_priorities(
     return ranks.select(
         node_col, "rank", F.ntile(n_levels).over(w).alias("priority")
     )
+
+
+def opic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Synchronous-batch OPIC importance (Abiteboul, Preda & Cobena,
+    "Adaptive on-line page importance computation", WWW'03).
+
+    The damping-free cash/history scheme crawlers use when a full
+    PageRank recomputation is too stale for frontier ordering: every
+    node starts with cash ``1/n``; each round it banks its cash into
+    its history and distributes it equally over its out-links (dangling
+    cash is redistributed uniformly — the paper's virtual-node edge
+    back to everyone). After ``t`` rounds the importance estimate is
+    ``(history + cash) / (t + 1)``, which sums to 1 and converges to
+    the damping-1 PageRank fixpoint. The crawl engine consumes it
+    through :func:`rank_priorities` exactly like :func:`pagerank`
+    (``CrawlEngine(host_ranks=...)``).
+
+    Scale shape per round — identical to :func:`pagerank`: one
+    ``cash ⋈ edges`` equi-join on ``src`` + one map-side-combinable
+    ``groupBy(dst).sum``, the dangling mass collapses to ONE driver
+    scalar, and lineage is truncated every round with
+    ``localCheckpoint`` so Catalyst never sees a nested t-join plan.
+    Pure rational arithmetic over a fixed round count — deterministic
+    on any cluster size, so the DuckDB oracle unrolls the same rounds
+    as chained CTEs (``__spark_entry__`` folds it into the ``pagerank``
+    contract query as ``opic_ppm``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib_edges = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        inflow = (
+            state.join(contrib_edges, state["node"] == contrib_edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") * F.col("w")).alias("inflow"))
+        )
+        dangling = (
+            state.join(out_deg, state["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+            .first()[0]
+        )
+        state = (
+            state.join(inflow, state["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.lit(dangling / n)
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "node",
+        ((F.col("hist") + F.col("cash")) / F.lit(float(n_iter) + 1.0)).alias("rank"),
+    )

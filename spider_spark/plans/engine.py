@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..functions.urls import with_url_identity
+from ..functions.urls import is_trap_col, with_url_identity
 from ..operators import autothrottle as AT
 from ..operators import dedup as D
 from ..operators import politeness as P
@@ -84,6 +84,13 @@ class CrawlConfig:
     #: recrawls. Costs one small aggregation job per wave; off by
     #: default.
     record_links: bool = False
+    #: drop trap-shaped out-links (path depth / pathological segment
+    #: repetition / query-param count / URL length — Mercator WWW'99,
+    #: IRLbot WWW'08, Heritrix decide-rule defaults; thresholds in
+    #: ``functions.urls``) BEFORE they cost a seq, a Bloom probe, a
+    #: seen-set row, or a politeness slot. Pure JVM fence at admission;
+    #: off by default (the reference's finite listing sites need none).
+    trap_filter: bool = False
 
     def backend(self) -> str:
         return self.seen_backend or ("bloom" if self.use_bloom else "exact")
@@ -355,6 +362,13 @@ class CrawlEngine:
                         self.cfg.redirect_priority_adjust,
                     )
                 )
+            if cfg.trap_filter:
+                # Fence BEFORE assign_seq: a fenced link never gets a
+                # seq, never reaches dedup/politeness, and (unlike a
+                # post-dedup drop) never occupies seen-set state. The
+                # resolved absolute URL carries the same depth/repeat/
+                # param/length signals as its canonical form.
+                new_links = new_links.filter(~is_trap_col(F.col("url")))
             new_links = S.assign_seq(
                 new_links, [F.asc("parent_seq"), F.asc("link_pos")], next_base
             ).drop("link_pos")

@@ -969,3 +969,20 @@ def test_conditional_recrawl_fetches_changed_page(spark, tmp_path):
     sched = RV.change_rate_schedule(eng2.fetch_history())
     assert sched.filter(F.col("n_changes") > 0).count() == 1
     eng.close(); eng2.close()
+
+
+def test_trap_filter_preserves_clean_crawl(spark, tmp_path):
+    """CrawlConfig(trap_filter=True): the synthetic web's URLs are not
+    trap-shaped, so the fenced crawl is bit-identical to the plain one
+    (totals, URL-seen set, document ids) — the fence only ever REMOVES
+    trap-shaped candidates, it never perturbs a clean frontier."""
+    spec = WebSpec(seed=13, n_hosts=4, pages_per_host=2, details_per_page=3)
+    _e1, t1, s1 = run_engine(spark, tmp_path / "plain", spec)
+    _e2, t2, s2 = run_engine(spark, tmp_path / "fenced", spec, trap_filter=True)
+    assert t1 == t2
+    seen1 = {r["fingerprint"] for r in s1.read_table("url_seen", "append").collect()}
+    seen2 = {r["fingerprint"] for r in s2.read_table("url_seen", "append").collect()}
+    assert seen1 == seen2
+    d1 = {r["doc_id"] for r in s1.read_table("documents", "append").collect()}
+    d2 = {r["doc_id"] for r in s2.read_table("documents", "append").collect()}
+    assert d1 == d2

@@ -1395,6 +1395,46 @@ def test_pagerank_power_iteration(spark):
     assert abs(loose[0] - r[0]) < 1e-3
 
 
+def test_opic_cash_history(spark):
+    """graphrank.opic equals a numpy simulation of the synchronous
+    cash/history rounds (Abiteboul et al. WWW'03): bank round-start
+    cash, distribute over out-edges, dangling cash spread uniformly;
+    importance = (hist + cash) / (t + 1). Same digraph as the pagerank
+    test (hub, dangling node, disconnected pair, duplicate edge)."""
+    import numpy as np
+    from spider_spark.operators import graphrank as GR
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 5), (5, 4), (0, 1)],
+        "src long, dst long",
+    )
+    t = 12
+    got = {r["node"]: r["rank"] for r in GR.opic(edges, n_iter=t).collect()}
+
+    n = 6
+    out = {0: [1, 2], 1: [2], 2: [0, 3], 4: [5], 5: [4]}
+    cash = np.full(n, 1.0 / n)
+    hist = np.zeros(n)
+    for _ in range(t):
+        hist = hist + cash
+        nxt = np.zeros(n)
+        dangling = sum(cash[u] for u in range(n) if u not in out)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += cash[u] / len(vs)
+        nxt += dangling / n
+        cash = nxt
+    imp = (hist + cash) / (t + 1)
+    for node in range(n):
+        assert abs(got[node] - imp[node]) < 1e-9, (node, got[node], imp[node])
+    # importance is a distribution (sums to 1) and feeds rank_priorities
+    # through the same (node, rank) contract as pagerank
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    pri = {x["node"]: x["priority"] for x in GR.rank_priorities(
+        GR.opic(edges, n_iter=t), n_levels=3).collect()}
+    assert pri[max(got, key=got.get)] == 3
+
+
 def test_change_rate_schedule_vectors(spark):
     """revisit.change_rate_schedule: hand-computed Cho/Garcia-Molina
     estimator, clamping, single-fetch default, due-set predicate."""
@@ -1710,3 +1750,105 @@ def test_form_requests_dataframe(spark):
     # static dict mode
     got2 = form_requests(pages, overrides={"num_page": "5"}).collect()
     assert {r["body"] for r in got2} == {"num_page=5"}
+
+
+def test_unigram_lm_quality_vectors(spark):
+    """lmquality.fit_unigram / score_unigram: hand-computed counts,
+    log-probs, OOV add-half floor, min_count and vocab_cap bounds,
+    empty-doc NULL score (CCNet/GPT-3 LM-scoring pipeline shape)."""
+    import math
+
+    from spider_spark.operators import lmquality as LM
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, ""), (4, "z z")],
+        "doc_id long, text string",
+    )
+    m = LM.fit_unigram(docs, min_count=1, vocab_cap=100)
+    # corpus tokens: a:2 b:2 c:1 z:2 -> N=7
+    assert m.total_tokens == 7
+    vocab = {r["token"]: (r["n"], r["logp"]) for r in m.vocab.collect()}
+    assert vocab["a"][0] == 2 and vocab["c"][0] == 1
+    assert abs(vocab["b"][1] - math.log(2 / 7)) < 1e-12
+    assert abs(m.oov_logp - math.log(0.5 / 7)) < 1e-12
+
+    got = {r["doc_id"]: r for r in LM.score_unigram(docs, m).collect()}
+    exp_d1 = (2 * math.log(2 / 7) + math.log(2 / 7)) / 3  # a a b
+    exp_d2 = (math.log(2 / 7) + math.log(1 / 7)) / 2      # b c
+    assert abs(got[1]["avg_logp"] - exp_d1) < 1e-12
+    assert abs(got[2]["avg_logp"] - exp_d2) < 1e-12
+    assert got[1]["n_toks"] == 3 and got[2]["n_toks"] == 2
+    assert abs(got[2]["perplexity"] - math.exp(-exp_d2)) < 1e-12
+    # empty doc: present, NULL score
+    assert got[3]["n_toks"] == 0 and got[3]["avg_logp"] is None
+
+    # min_count=2 drops the singleton 'c' -> it scores at the OOV floor
+    m2 = LM.fit_unigram(docs, min_count=2, vocab_cap=100)
+    assert "c" not in {r["token"] for r in m2.vocab.collect()}
+    got2 = {r["doc_id"]: r for r in LM.score_unigram(docs, m2).collect()}
+    exp2_d2 = (math.log(2 / 7) + math.log(0.5 / 7)) / 2
+    assert abs(got2[2]["avg_logp"] - exp2_d2) < 1e-12
+
+    # vocab_cap=1 keeps only the (count DESC, token ASC) winner: 'a'
+    m3 = LM.fit_unigram(docs, min_count=1, vocab_cap=1)
+    assert [r["token"] for r in m3.vocab.collect()] == ["a"]
+    got3 = {r["doc_id"]: r for r in LM.score_unigram(docs, m3).collect()}
+    exp3_d1 = (2 * math.log(2 / 7) + math.log(0.5 / 7)) / 3
+    assert abs(got3[1]["avg_logp"] - exp3_d1) < 1e-12
+
+    # scoring a disjoint doc set against the fitted model: all OOV
+    other = spark.createDataFrame([(9, "q r s")], "doc_id long, text string")
+    g9 = LM.score_unigram(other, m).collect()[0]
+    assert abs(g9["avg_logp"] - math.log(0.5 / 7)) < 1e-12
+
+
+def test_anchor_text_vectors():
+    """anchortext.parse_anchors: href+text pairs, whitespace collapse,
+    nested/unclosed anchors, missing href skipped, charref decoding."""
+    from spider_spark.operators.anchortext import parse_anchors
+
+    html = (
+        '<p><a href="/a">  Alpha   Site </a>'
+        '<a name="x">no href</a>'
+        '<a href="/b"><b>Bold</b> &amp; nested <a href="/c">inner</a> tail</a>'
+        '<a href="/d"><img src="i.png"></a>'
+        '<a href="/e">unclosed'
+    )
+    got = parse_anchors(html)
+    assert ("/a", "Alpha Site") in got
+    assert ("/c", "inner") in got
+    # outer anchor kept its own text (inner text went to the inner one)
+    assert any(h == "/b" and "Bold" in t and "nested" in t for h, t in got)
+    assert ("/d", "") in got          # image-only anchor -> empty text
+    assert ("/e", "unclosed") in got  # finalized at EOF
+    assert not any(t == "no href" for _, t in got)
+
+
+def test_anchor_profiles_end_to_end(spark):
+    """extract_anchors -> anchor_edges -> anchor_profiles: resolution
+    against the page URL, self/empty-link dropping, per-target counts,
+    and the salted top-k keeping exactly k anchors per hot target."""
+    from spider_spark.operators import anchortext as AX
+
+    # 6 pages link to hub with 3 distinct anchor texts (one dominant),
+    # plus a self-link, an empty anchor, and a relative link elsewhere.
+    pages = [
+        (f"http://h{i}.example/p",
+         '<a href="http://hub.example/">Hub Portal</a>'
+         + ('<a href="http://hub.example/">The Hub</a>' if i % 2 == 0 else "")
+         + ('<a href="http://hub.example/">hub</a>' if i == 0 else "")
+         + '<a href="#top">top</a>'            # self link (fragment)
+         + '<a href="other.html">sib page</a>')  # relative resolve
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    edges = AX.anchor_edges(AX.extract_anchors(df))
+    e = edges.collect()
+    # fragment self-links dropped; relative links resolved per page
+    assert not any(r["src"] == r["dst"] for r in e)
+    assert sum(1 for r in e if r["dst"].endswith("/other.html")) == 6
+    hub = AX.anchor_profiles(edges.filter(F.col("dst") == "http://hub.example/"), k=2)
+    prof = [(r["anchor"], r["n_links"], r["rank"])
+            for r in hub.orderBy("rank").collect()]
+    # counts: 'Hub Portal' x6, 'The Hub' x3, 'hub' x1 -> top-2 kept
+    assert prof == [("Hub Portal", 6, 1), ("The Hub", 3, 2)]

@@ -84,3 +84,43 @@ def test_host_col_strips_port_and_userinfo(spark):
         [("http://user@h.example:8080/p",)], "canonical_url string"
     )
     assert df.select(host_col(F.col("canonical_url")).alias("h")).collect()[0]["h"] == "h.example"
+
+
+def test_trap_fence_signals(spark):
+    """Crawler-trap fence columns (functions/urls.py, round 4): hand
+    vectors for path depth, pathological segment repetition, query-param
+    count, URL length, and the composed is_trap decision."""
+    from spider_spark.functions.urls import (
+        is_trap_col,
+        max_segment_repeat_col,
+        path_depth_col,
+        query_param_count_col,
+    )
+
+    deep = "http://t.example/" + "/".join(f"s{i}" for i in range(17))
+    longu = "http://t.example/p?pad=" + "x" * 2048
+    rows = [
+        # (url, depth, repeat, params, trap)
+        ("http://t.example/x/y/z?p=1&q=2", 3, 1, 2, False),
+        ("http://t.example/", 0, 0, 0, False),
+        ("http://t.example", 0, 0, 0, False),          # empty path == '/'
+        ("http://t.example/a/b/a/b/a", 5, 3, 0, True),  # pathological path
+        (deep, 17, 1, 0, True),                         # too many segments
+        ("http://t.example/p?" + "&".join(f"k{i}=1" for i in range(13)),
+         1, 1, 13, True),                               # session-id maze
+        (longu, 1, 1, 1, True),                         # oversize URL
+        # query/fragment content never leaks into path signals
+        ("http://t.example/x?y=/a/b/a/b/a/b#/c/c/c", 1, 1, 1, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], "url string")
+    got = df.select(
+        "url",
+        path_depth_col(F.col("url")).alias("d"),
+        max_segment_repeat_col(F.col("url")).alias("r"),
+        query_param_count_col(F.col("url")).alias("p"),
+        is_trap_col(F.col("url")).alias("t"),
+    ).collect()
+    by_url = {g["url"]: g for g in got}
+    for url, d, r, p, t in rows:
+        g = by_url[url]
+        assert (g["d"], g["r"], g["p"], g["t"]) == (d, r, p, t), (url, dict(g.asDict()))

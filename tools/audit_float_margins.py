@@ -90,6 +90,49 @@ def main() -> None:
         if not ok:
             failures.append(f"revisit.{out_name} margin {m:.3e}")
 
+    # round-4 folds: lp_e3 (text_metrics) is floor(avg_logp*1000 + 0.5)
+    from spider_spark.operators import lmquality as LM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = LM.fit_unigram(docs, min_count=2, vocab_cap=4096)
+    lp_rows = LM.score_unigram(docs, model).select("avg_logp").collect()
+    margins = [
+        boundary_margin(r["avg_logp"], 1000.0)
+        for r in lp_rows
+        if r["avg_logp"] is not None
+    ]
+    m = min(margins) if margins else math.inf
+    print(
+        f"text_metrics.lp_e3: min margin {m:.3e} over {len(margins)} rows "
+        f"{'OK' if m >= MARGIN_THRESHOLD else 'TOO CLOSE'}"
+    )
+    if m < MARGIN_THRESHOLD:
+        failures.append(f"text_metrics.lp_e3 margin {m:.3e}")
+
+    # opic_ppm (pagerank fold) is round(rank*1e6, 2): the half-up
+    # boundary sits where frac(rank*1e8) == 0.5
+    from pyspark.sql import functions as SF
+    from spider_spark.operators import graphrank as GR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select(
+        (SF.col("l_orderkey") % 300).alias("src"),
+        (SF.col("l_partkey") % 300).alias("dst"),
+    )
+    for nm, ranks in (
+        ("opic_ppm", GR.opic(edges, n_iter=6)),
+        ("rank_ppm", GR.pagerank(edges, damping=0.85, n_iter=6)),
+    ):
+        vals = [r["rank"] for r in ranks.collect()]
+        margins = [abs((v * 1e8) % 1.0 - 0.5) for v in vals]
+        m = min(margins) if margins else math.inf
+        print(
+            f"pagerank.{nm}: min round-2dp margin {m:.3e} over "
+            f"{len(margins)} rows {'OK' if m >= MARGIN_THRESHOLD else 'TOO CLOSE'}"
+        )
+        if m < MARGIN_THRESHOLD:
+            failures.append(f"pagerank.{nm} margin {m:.3e}")
+
     # -- Part B: shuffle-order determinism of float-emitting queries --
     print("== Part B: determinism under different shuffle partitioning ==")
     qs = E.queries()
