@@ -1005,8 +1005,22 @@ def q_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level exact dedup (md5-of-normalized-text groupBy). Folded in
+    (round 4): exact-substring dedup at k-gram granularity (Lee et al.
+    ACL 2022 ExactSubstr, operators/textdedup.substring_dup_stats) —
+    each surviving doc carries its duplicated-span profile (n_tokens,
+    dup_spans, dup_tokens; all-integer, k=4 so the synthetic corpus has
+    real cross-doc collisions). Spark groups grams by xxhash64, the
+    oracle by gram text — identical equivalence classes absent a 64-bit
+    collision; keep-first tie-break is min (doc_id, start) on both
+    sides."""
     docs = _t(spark, sf_dir, "documents")
-    return TD.exact_dedup(docs)
+    stats = TD.substring_dup_stats(docs, k=4)
+    return (
+        TD.exact_dedup(docs)
+        .join(stats, F.col("keep_id") == F.col("doc_id"))
+        .select("fingerprint", "keep_id", "n_dups", "n_tokens", "dup_spans", "dup_tokens")
+    )
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,20 +1320,57 @@ _MEDIA_DECODE_SQL = """
 
 def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap source (SURVEY.md §2.1, athimmo_be.py:18-26): <loc>
-    extraction from deterministic sitemap XML, order-preserving."""
+    extraction from deterministic sitemap XML, order-preserving.
+    Folded in (round 4): RSS 2.0 / Atom feed discovery
+    (sources/feeds.py) — entry-link extraction over deterministic feed
+    XML; the RSS document carries a channel-level <link> that must NOT
+    extract (item-scoped (?s) pattern) and the Atom entries carry
+    rel-attributed <link href> forms."""
+    from spider_spark.sources.feeds import extract_atom_links, extract_rss_links
     from spider_spark.sources.sitemap import extract_sitemap_locs
 
     docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
     xml = F.concat(
         F.lit('<?xml version="1.0"?><urlset><url><loc>http://s.example/d/'),
-        F.col("doc_id").cast("string"),
+        did,
         F.lit("</loc></url><url><loc> http://s.example/page/"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit(" </loc></url></urlset>"),
     )
-    return docs.select(
-        "doc_id", F.posexplode(extract_sitemap_locs(xml)).alias("pos", "loc")
+    rss = F.concat(
+        F.lit(
+            "<rss><channel><link>http://f.example/home</link>"
+            "<item><title>t</title>\n<link> http://f.example/rss/"
+        ),
+        did,
+        F.lit(" </link><pubDate>Mon, 01 Jan 2024</pubDate></item><item><link>http://f.example/rss/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</link></item></channel></rss>"),
     )
+    atom = F.concat(
+        F.lit('<feed><entry>\n<link rel="alternate" href="http://f.example/atom/'),
+        did,
+        F.lit('"/><updated>2024-01-02</updated></entry><entry><link href="http://f.example/atom/p'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"/></entry></feed>'),
+    )
+    sm = docs.select(
+        "doc_id",
+        F.lit("sitemap").alias("src"),
+        F.posexplode(extract_sitemap_locs(xml)).alias("pos", "loc"),
+    )
+    rs = docs.select(
+        "doc_id",
+        F.lit("rss").alias("src"),
+        F.posexplode(extract_rss_links(rss)).alias("pos", "loc"),
+    )
+    at = docs.select(
+        "doc_id",
+        F.lit("atom").alias("src"),
+        F.posexplode(extract_atom_links(atom)).alias("pos", "loc"),
+    )
+    return sm.unionByName(rs).unionByName(at)
 
 
 def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,18 +1464,30 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection, override-in-place, submit exclusion, and action
     resolution against the page URL (operators/htmlparse.form_requests;
     reference call sites immobiliarefaro_it.py:36,
-    immobiliaretafy_com.py:40)."""
+    immobiliaretafy_com.py:40). Folded in (round 4, second pass): REP
+    link directives (operators/htmlparse.link_directives_pages) — each
+    page carries a rel="nofollow" anchor and a <meta name="robots">
+    whose content cycles noindex / nofollow / index,follow by doc_id%3;
+    n_follow_links pins both the per-link rel filter and the page-level
+    meta-nofollow wipe, noindex pins the document-sink gate."""
     from spider_spark.operators.htmlparse import (
         form_requests,
+        link_directives_pages,
         main_content_pages,
         parse_html_pages,
     )
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
+    robots_meta = F.element_at(
+        F.array(F.lit("noindex"), F.lit("nofollow"), F.lit("index, follow")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
     html = F.concat(
+        F.lit('<html><head><title>skip</title><meta name="robots" content="'),
+        robots_meta,
         F.lit(
-            '<html><head><title>skip</title></head><body>'
+            '"/></head><body>'
             '<div class="nav"> <a href="/nav1"> Home </a>'
             ' <a href="/nav2"> About </a> </div><h1>'
         ),
@@ -1444,6 +1507,7 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7).cast("string"),
         F.lit(
             '"/><input type="submit" name="go" value="Go"/></form>'
+            '<a rel="nofollow" href="/promo"></a>'
             "</body></html>"
         ),
     )
@@ -1461,12 +1525,20 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("action").alias("form_action"),
         F.col("body").alias("form_body"),
     )
+    directives = link_directives_pages(pages).select(
+        "url",
+        F.size("follow_links").alias("n_follow_links"),
+        "noindex",
+    )
     return (
         parsed.join(mains, "url")
         .join(forms, "url")
+        .join(directives, "url")
         .select(
             "url",
             F.size("out_links").alias("n_links"),
+            "n_follow_links",
+            "noindex",
             "main_text",
             "form_action",
             "form_body",
@@ -1475,6 +1547,8 @@ def q_html_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "url",
             "n_links",
+            "n_follow_links",
+            "noindex",
             "main_text",
             "form_action",
             "form_body",
@@ -2428,11 +2502,58 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN lp USING (doc_id)
         """,
         "exact_dedup": """
-            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                       AS fingerprint,
-                   min(doc_id) AS keep_id, count(*) AS n_dups
-            FROM documents
-            GROUP BY 1
+            WITH fp AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                           AS fingerprint,
+                       min(doc_id) AS keep_id, count(*) AS n_dups
+                FROM documents
+                GROUP BY 1
+            ),
+            t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            occ AS (
+                SELECT doc_id, CAST(u.i AS INT) AS start,
+                       array_to_string(tk[u.i + 1 : u.i + 4], ' ') AS g
+                FROM t, UNNEST(range(0, greatest(len(tk) - 3, 0))) AS u(i)
+            ),
+            ranked AS (
+                SELECT doc_id, start,
+                       count(*) OVER (PARTITION BY g) AS n_occ,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, start) AS rn
+                FROM occ
+            ),
+            marked AS (SELECT doc_id, start FROM ranked
+                       WHERE n_occ > 1 AND rn > 1),
+            stepped AS (
+                SELECT doc_id, start,
+                       CASE WHEN max(start + 4) OVER w IS NULL
+                              OR start > max(start + 4) OVER w
+                            THEN 1 ELSE 0 END AS nw
+                FROM marked
+                WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            isl AS (
+                SELECT doc_id, start,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY start) AS island
+                FROM stepped
+            ),
+            spans AS (
+                SELECT doc_id, island, min(start) AS lo, max(start) + 4 AS hi
+                FROM isl GROUP BY doc_id, island
+            ),
+            stats AS (
+                SELECT doc_id, count(*) AS dup_spans,
+                       sum(hi - lo) AS dup_tokens
+                FROM spans GROUP BY doc_id
+            )
+            SELECT f.fingerprint, f.keep_id, f.n_dups,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.dup_spans, 0) AS BIGINT) AS dup_spans,
+                   CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens
+            FROM fp f
+            JOIN t ON t.doc_id = f.keep_id
+            LEFT JOIN stats s ON s.doc_id = f.keep_id
         """,
         "decontaminate": f"""
             WITH bt AS (SELECT {_TOKENS_SQL} AS toks FROM documents
@@ -2862,16 +2983,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sitemap_locs": """
             WITH x AS (
-                SELECT doc_id,
+                SELECT doc_id, 'sitemap' AS src,
                        '<?xml version="1.0"?><urlset><url><loc>http://s.example/d/'
                        || doc_id || '</loc></url><url><loc> http://s.example/page/'
-                       || (doc_id % 7) || ' </loc></url></urlset>' AS xml
+                       || (doc_id % 7) || ' </loc></url></urlset>' AS xml,
+                       '<loc>\\s*([^<]+?)\\s*</loc>' AS pat
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'rss',
+                       '<rss><channel><link>http://f.example/home</link>'
+                       || '<item><title>t</title>' || chr(10)
+                       || '<link> http://f.example/rss/' || doc_id
+                       || ' </link><pubDate>Mon, 01 Jan 2024</pubDate></item>'
+                       || '<item><link>http://f.example/rss/p' || (doc_id % 7)
+                       || '</link></item></channel></rss>',
+                       '(?s)<item>.*?<link>\\s*([^<]+?)\\s*</link>'
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'atom',
+                       '<feed><entry>' || chr(10)
+                       || '<link rel="alternate" href="http://f.example/atom/'
+                       || doc_id || '"/><updated>2024-01-02</updated></entry>'
+                       || '<entry><link href="http://f.example/atom/p'
+                       || (doc_id % 5) || '"/></entry></feed>',
+                       '(?s)<entry>.*?<link[^>]*href="([^"]+)"'
                 FROM documents),
-            l AS (SELECT doc_id,
-                         regexp_extract_all(xml, '<loc>\\s*([^<]+?)\\s*</loc>', 1)
-                             AS locs
+            l AS (SELECT doc_id, src,
+                         regexp_extract_all(xml, pat, 1) AS locs
                   FROM x)
-            SELECT doc_id, CAST(u.o - 1 AS INT) AS pos, u.loc
+            SELECT doc_id, src, CAST(u.o - 1 AS INT) AS pos, u.loc
             FROM l, LATERAL (SELECT unnest(locs) AS loc,
                                     generate_subscripts(locs, 1) AS o) u
         """,
@@ -2917,22 +3057,30 @@ def oracle_sql() -> dict[str, str]:
             b AS (SELECT *, t || ' ref ' || doc_id AS main,
                          'http://docs.example/search.php' AS fa,
                          'num_page=' || (doc_id % 9 + 2)
-                             || '&cat=' || (doc_id % 7) AS fb
+                             || '&cat=' || (doc_id % 7) AS fb,
+                         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 4 END
+                              AS INT) AS nf,
+                         doc_id % 3 = 0 AS ni
                   FROM base)
-            SELECT url, 4 AS n_links, main AS main_text,
+            SELECT url, 5 AS n_links, nf AS n_follow_links, ni AS noindex,
+                   main AS main_text,
                    fa AS form_action, fb AS form_body, 'text' AS kind,
                    'Home' AS text, CAST(NULL AS VARCHAR) AS media_ref,
                    0 AS "offset" FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'About', NULL, 1 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', t, NULL, 2 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'more', NULL, 3 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'media', NULL,
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', 'About',
+                   NULL, 1 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', t, NULL, 2 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', 'more',
+                   NULL, 3 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'media', NULL,
                    '/i/' || m || '.jpg', 4 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', t, NULL, 5 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'ref ' || doc_id,
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', t, NULL, 5 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', 'ref ' || doc_id,
                    NULL, 6 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'copyright', NULL, 7 FROM b
-            UNION ALL SELECT url, 4, main, fa, fb, 'text', 'contact', NULL, 8 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', 'copyright',
+                   NULL, 7 FROM b
+            UNION ALL SELECT url, 5, nf, ni, main, fa, fb, 'text', 'contact',
+                   NULL, 8 FROM b
         """,
         "css_select": """
             SELECT doc_id,

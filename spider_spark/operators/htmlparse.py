@@ -366,3 +366,82 @@ def form_requests(
     return pages.mapInPandas(
         run, "url string, action string, method string, body string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robots-Exclusion link directives: rel="nofollow" + <meta name="robots">
+# ---------------------------------------------------------------------------
+
+#: meta-robots directive tokens (public REP companion semantics — the
+#: Google/Bing robots <meta> tag contract, honored by Heritrix's
+#: honor-robots decide rules): comma-separated, case-insensitive;
+#: ``none`` == ``noindex, nofollow``.
+_META_NOINDEX = {"noindex", "none"}
+_META_NOFOLLOW = {"nofollow", "none"}
+
+
+class _DirectivesParser(HTMLParser):
+    """One streaming pass collecting (href, rel-nofollow) anchor pairs
+    and the page-level meta-robots flags. rel is a space-separated
+    token list (``rel="nofollow ugc sponsored"`` is still nofollow)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, bool]] = []
+        self.noindex = False
+        self.nofollow = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "a" and a.get("href"):
+            rel = (a.get("rel") or "").lower().split()
+            self.links.append((a["href"], "nofollow" in rel))
+        elif tag == "meta" and (a.get("name") or "").lower() == "robots":
+            toks = {
+                t.strip().lower()
+                for t in (a.get("content") or "").split(",")
+            }
+            self.noindex = self.noindex or bool(toks & _META_NOINDEX)
+            self.nofollow = self.nofollow or bool(toks & _META_NOFOLLOW)
+
+
+def parse_link_directives(html: str) -> tuple[list[tuple[str, bool]], bool, bool]:
+    """(links [(href, rel_nofollow)], page_noindex, page_nofollow)."""
+    p = _DirectivesParser()
+    p.feed(html or "")
+    p.close()
+    return p.links, p.noindex, p.nofollow
+
+
+def link_directives_pages(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, html) -> (url, out_links, follow_links, noindex, nofollow).
+
+    ``out_links`` is every anchor href in document order (discovery
+    surface — what a link-graph/anchor-text job sees); ``follow_links``
+    applies the REP link directives a polite crawler honors before
+    frontier admission: empty when the page is meta-nofollow, otherwise
+    out_links minus rel="nofollow" anchors. ``noindex`` is the page's
+    document-sink gate (drop from the corpus, still crawl through).
+    Same batch shape as parse_html_pages: one Arrow crossing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                links, noindex, nofollow = parse_link_directives(html)
+                out = [h for h, _ in links]
+                follow = [] if nofollow else [h for h, nf in links if not nf]
+                rows.append((url, out, follow, noindex, nofollow))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "out_links", "follow_links", "noindex", "nofollow"],
+            )
+
+    return pages.mapInPandas(
+        run,
+        "url string, out_links array<string>, follow_links array<string>, "
+        "noindex boolean, nofollow boolean",
+    )

@@ -641,3 +641,167 @@ def dedup_clusters(
         )
         .withColumn("is_kept", F.col("cluster_id") == F.col(id_col))
     )
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL 2022 — the ExactSubstr pass)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated token ranges at k-gram granularity.
+
+    The paper builds a corpus suffix array and removes every substring
+    of >= 50 tokens that appears twice; a suffix array is a single
+    global sorted structure and does not distribute. Re-expressed
+    relationally at k-token granularity: every length-k token window
+    is hashed per row inside a JVM HOF (offsets + 8-byte hashes leave
+    the row, never the window text), a window seen more than once in
+    the corpus is duplicate evidence, the FIRST occurrence in corpus
+    order (min (doc_id, start)) keeps its copy, every other
+    occurrence's [start, start+k) token range is marked, and marked
+    ranges merge per document into maximal spans (overlapping OR
+    adjacent ranges fuse, so span coverage is contiguous and
+    dup_tokens = hi - lo is exact union size).
+
+    Returns one row per merged span: (doc_id, lo, hi) — token index
+    range [lo, hi) duplicated from elsewhere in the corpus.
+
+    Scale shape: one shuffle on the gram hash (map-side-combinable
+    count + min), one equi-join back on the same key restricted to the
+    duplicated subset (boilerplate grams are hot keys — AQE skew-join
+    splits them), one per-document window for the interval merge
+    (bounded by document length, never corpus-wide).
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).select("doc_id", "_t", F.size("_t").alias("n_tokens"))
+    grams = base.select(
+        "doc_id",
+        F.when(
+            F.col("n_tokens") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - k),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k))),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_gh"),
+    )
+    occ = grams.select("doc_id", F.posexplode("_gh").alias("start", "gh"))
+    dup_grams = occ.groupBy("gh").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "start")).alias("keep"),
+    ).filter(F.col("n_occ") > 1)
+    marked = occ.join(dup_grams, "gh").filter(
+        ~(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("start") == F.col("keep.start"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max(F.col("start") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = marked.select(
+        "doc_id",
+        "start",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = stepped.withColumn(
+        "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("start").alias("lo"),
+        (F.max("start") + k).alias("hi"),
+    ).select("doc_id", "lo", "hi")
+
+
+def substring_dup_stats(
+    documents: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document profile of :func:`substring_dup_spans`: (doc_id,
+    n_tokens, dup_spans, dup_tokens) with zero-filled non-duplicated
+    documents. All-integer outputs (hash-stable by construction)."""
+    spans = substring_dup_spans(documents, k=k, text_col=text_col, id_col=id_col)
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"),
+        F.sum(F.col("hi") - F.col("lo")).alias("dup_tokens"),
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def substring_dedup(
+    documents: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the ExactSubstr removal: tokens inside any duplicated span
+    are dropped, the survivors re-join on single spaces. Returns
+    (doc_id, text_deduped, n_tokens, dup_tokens). The span list per
+    document is tiny (merged intervals), so it rides a broadcast-shaped
+    struct array through one JVM ``filter`` HOF — no Python in the path.
+    """
+    spans = substring_dup_spans(documents, k=k, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("lo", "hi"))).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), r"\s+")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "_t",
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<lo:int,hi:int>>")
+        ).alias("_spans"),
+    )
+    # token i survives when no span covers it; positions via zip of the
+    # token array with its index sequence
+    kept = F.filter(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(0), F.size("_t") - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_spans"), lambda sp: (s["i"] >= sp["lo"]) & (s["i"] < sp["hi"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text_deduped"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "_spans", F.lit(0), lambda acc, sp: acc + (sp["hi"] - sp["lo"])
+        ).cast("long").alias("dup_tokens"),
+    )

@@ -107,6 +107,7 @@ class CrawlEngine:
         store: SnapshotStore,
         config: CrawlConfig | None = None,
         sitemaps: DataFrame | None = None,
+        feeds: DataFrame | None = None,
         link_rules: DataFrame | None = None,
         offsite_rules: DataFrame | None = None,
         host_ranks: DataFrame | None = None,
@@ -119,6 +120,9 @@ class CrawlEngine:
         self.policy = host_policy
         self.store = store
         self.sitemaps = sitemaps  # optional sitemaps(url, xml) table
+        #: optional feeds(url, xml) table — RSS/Atom seed expansion
+        #: (sources/feeds.py), same pre-wave-0 stage as sitemaps
+        self.feeds = feeds
         #: optional LinkExtractor allow/deny dim (source, link_allow,
         #: link_deny) — sources/registry.link_rules_df
         self.link_rules = link_rules
@@ -269,6 +273,13 @@ class CrawlEngine:
                 from ..sources.sitemap import expand_sitemap_seeds
 
                 seeds = expand_sitemap_seeds(seeds, self.sitemaps)
+            if self.feeds is not None:
+                # pre-wave-0 feed expansion (RSS/Atom discovery channel,
+                # sources/feeds.py) — runs after sitemaps so a sitemap
+                # <loc> naming a feed expands too
+                from ..sources.feeds import expand_feed_seeds
+
+                seeds = expand_feed_seeds(seeds, self.feeds)
             # seed rows: deterministic order by (source, url) — documented
             # analog of start_urls list order (readme.md:33-55)
             cand = _seed_candidates(seeds, cfg.crawl_id)

@@ -986,3 +986,91 @@ def test_trap_filter_preserves_clean_crawl(spark, tmp_path):
     d1 = {r["doc_id"] for r in s1.read_table("documents", "append").collect()}
     d2 = {r["doc_id"] for r in s2.read_table("documents", "append").collect()}
     assert d1 == d2
+
+
+def test_feed_seed_expansion_unit(spark):
+    """expand_feed_seeds (sources/feeds.py): RSS item links and Atom
+    entry hrefs become seeds inheriting source/meta/priority; the RSS
+    channel-level <link> does NOT leak; unknown feed URLs drop; plain
+    seeds pass through. feed_entries pairs links with their pubDate/
+    updated payloads, padding missing dates with NULL."""
+    from spider_spark.sources.feeds import expand_feed_seeds, feed_entries
+
+    seeds = spark.createDataFrame(
+        [
+            ("http://a.example/list?page=1", "sa", {}, 0),
+            ("http://b.example/feed/", "sb", {"k": "v"}, 2),
+            ("http://c.example/news.atom", "sc", {}, 1),
+            ("http://d.example/gone.rss", "sd", {}, 0),
+        ],
+        schemas.SEEDS,
+    )
+    feeds = spark.createDataFrame(
+        [
+            (
+                "http://b.example/feed/",
+                "<rss><channel><link>http://b.example/</link>"
+                "<item><title>x</title><link> http://b.example/post/1 </link>"
+                "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+                "<item><link>http://b.example/post/2</link></item>"
+                "</channel></rss>",
+            ),
+            (
+                "http://c.example/news.atom",
+                '<feed><entry><link rel="alternate" type="text/html" '
+                'href="http://c.example/e1"/><updated>2024-01-02T00:00:00Z'
+                "</updated></entry>"
+                '<entry><link href="http://c.example/e2"/></entry></feed>',
+            ),
+        ],
+        "url string, xml string",
+    )
+    out = expand_feed_seeds(seeds, feeds).collect()
+    rows = {(r["url"], r["source"], r["priority"]) for r in out}
+    assert rows == {
+        ("http://a.example/list?page=1", "sa", 0),
+        ("http://b.example/post/1", "sb", 2),
+        ("http://b.example/post/2", "sb", 2),
+        ("http://c.example/e1", "sc", 1),
+        ("http://c.example/e2", "sc", 1),
+    }
+    # the channel-level link never appears
+    assert all("b.example/" != r["url"].removeprefix("http://") for r in out)
+
+    ent = {
+        (r["feed_url"], r["pos"]): (r["link"], r["published"])
+        for r in feed_entries(feeds).collect()
+    }
+    assert ent[("http://b.example/feed/", 0)] == (
+        "http://b.example/post/1",
+        "Mon, 01 Jan 2024 00:00:00 GMT",
+    )
+    assert ent[("http://b.example/feed/", 1)] == ("http://b.example/post/2", None)
+    assert ent[("http://c.example/news.atom", 0)] == (
+        "http://c.example/e1",
+        "2024-01-02T00:00:00Z",
+    )
+    assert ent[("http://c.example/news.atom", 1)] == ("http://c.example/e2", None)
+
+    # a DATELESS FIRST item must not steal its neighbor's date, and a
+    # linkless item drops instead of shifting positions
+    tricky = spark.createDataFrame(
+        [
+            (
+                "http://t.example/feed/",
+                "<rss><channel>"
+                "<item><link>http://t.example/p1</link></item>"
+                "<item><title>no link</title>"
+                "<pubDate>Tue, 02 Jan 2024 00:00:00 GMT</pubDate></item>"
+                "<item><link>http://t.example/p3</link>"
+                "<pubDate>Wed, 03 Jan 2024 00:00:00 GMT</pubDate></item>"
+                "</channel></rss>",
+            )
+        ],
+        "url string, xml string",
+    )
+    tent = {r["pos"]: (r["link"], r["published"]) for r in feed_entries(tricky).collect()}
+    assert tent == {
+        0: ("http://t.example/p1", None),
+        1: ("http://t.example/p3", "Wed, 03 Jan 2024 00:00:00 GMT"),
+    }

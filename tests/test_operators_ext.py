@@ -1852,3 +1852,103 @@ def test_anchor_profiles_end_to_end(spark):
             for r in hub.orderBy("rank").collect()]
     # counts: 'Hub Portal' x6, 'The Hub' x3, 'hub' x1 -> top-2 kept
     assert prof == [("Hub Portal", 6, 1), ("The Hub", 3, 2)]
+
+
+def test_substring_dedup_spans_and_removal(spark):
+    """ExactSubstr analog (Lee et al. ACL'22) at k=4 token granularity:
+    the corpus-first occurrence keeps its copy, later occurrences are
+    marked, overlapping marked grams merge into one span, and removal
+    drops exactly the covered tokens."""
+    from spider_spark.operators import textdedup as TD
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "x y a b c d e z"),   # dup grams at starts 2,3 -> span [2,7)
+            (2, "a b c d e f g h"),   # whole-doc dup of 0 -> span [0,8)
+            (3, "q r s t"),           # unique, exactly k tokens
+            (4, "short"),             # < k tokens: no grams
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["lo"], r["hi"])
+        for r in TD.substring_dup_spans(docs, k=4).collect()
+    }
+    assert spans == {(1, 2, 7), (2, 0, 8)}
+
+    stats = {r["doc_id"]: r for r in TD.substring_dup_stats(docs, k=4).collect()}
+    assert (stats[0]["dup_spans"], stats[0]["dup_tokens"]) == (0, 0)  # keeper
+    assert (stats[1]["dup_spans"], stats[1]["dup_tokens"]) == (1, 5)
+    assert (stats[2]["dup_spans"], stats[2]["dup_tokens"]) == (1, 8)
+    assert (stats[4]["n_tokens"], stats[4]["dup_tokens"]) == (1, 0)
+
+    clean = {r["doc_id"]: r for r in TD.substring_dedup(docs, k=4).collect()}
+    assert clean[0]["text_deduped"] == "a b c d e f g h"
+    assert clean[1]["text_deduped"] == "x y z"
+    assert clean[2]["text_deduped"] == ""
+    assert clean[3]["text_deduped"] == "q r s t"
+    assert clean[1]["dup_tokens"] == 5
+
+
+def test_substring_dedup_adjacent_spans_merge(spark):
+    """Two duplicated regions separated by a gap stay two spans; exactly
+    adjacent coverage fuses into one (the contiguity rule both the Spark
+    side and the DuckDB oracle implement)."""
+    from spider_spark.operators import textdedup as TD
+
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r s GAP1 GAP2 t u v w"),  # source of both regions
+            (1, "p q r s A B C D t u v w"),    # two disjoint dup spans
+            (2, "p q r s t u v w"),            # no 4-gram matches doc 0's
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["lo"], r["hi"])
+        for r in TD.substring_dup_spans(docs, k=4).collect()
+    }
+    # doc 1: "p q r s" at 0..4 and "t u v w" at 8..12 both dup doc 0's
+    assert (1, 0, 4) in spans and (1, 8, 12) in spans
+    # doc 2 ALSO dups both grams (from doc 0 and doc 1) but contiguously:
+    # [0,4) and [4,8) are adjacent -> ONE fused span [0,8)
+    assert (2, 0, 8) in spans
+    assert not any(d == 2 and (lo, hi) != (0, 8) for d, lo, hi in spans)
+
+
+def test_link_directives_rel_and_meta(spark):
+    """REP link directives: rel='nofollow ugc' filters per-link,
+    meta robots 'none' implies noindex+nofollow, tokens are
+    case-insensitive and comma-separated; follow_links is emptied by a
+    page-level nofollow while out_links keeps discovery order."""
+    from spider_spark.operators.htmlparse import (
+        link_directives_pages,
+        parse_link_directives,
+    )
+
+    plain = (
+        '<a href="/a">x</a><a rel="NoFollow ugc" href="/b">y</a>'
+        '<a rel="sponsored" href="/c">z</a>'
+    )
+    links, ni, nf = parse_link_directives(plain)
+    assert links == [("/a", False), ("/b", True), ("/c", False)]
+    assert (ni, nf) == (False, False)
+
+    meta_none = '<head><meta name="ROBOTS" content=" None "/></head>' + plain
+    _, ni2, nf2 = parse_link_directives(meta_none)
+    assert (ni2, nf2) == (True, True)
+
+    meta_noindex = '<meta name="robots" content="noindex, follow"/>' + plain
+    _, ni3, nf3 = parse_link_directives(meta_noindex)
+    assert (ni3, nf3) == (True, False)
+
+    df = spark.createDataFrame(
+        [("u1", plain), ("u2", meta_none), ("u3", meta_noindex)],
+        "url string, html string",
+    )
+    out = {r["url"]: r for r in link_directives_pages(df).collect()}
+    assert out["u1"]["out_links"] == ["/a", "/b", "/c"]
+    assert out["u1"]["follow_links"] == ["/a", "/c"]
+    assert out["u2"]["follow_links"] == [] and out["u2"]["noindex"]
+    assert out["u3"]["follow_links"] == ["/a", "/c"] and out["u3"]["noindex"]
