@@ -123,9 +123,61 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized per row with seq-driven repetition/depth/param/length
     padding, and the five fence columns (path_depth, max_seg_repeat,
     n_params, url_len, is_trap) are oracle-checked against DuckDB's
-    independent list-lambda computation."""
+    independent list-lambda computation. Round 4 second pass folds in
+    DUST rule mining (Bar-Yossef et al. WWW'07, operators/dust.py): a
+    fetched-pages corpus with three alias families (www host, session/
+    tracking params, /index.html suffix) is synthesized from seq,
+    rules are MINED from its content-digest groups and APPLIED to a
+    fresh frontier the miner never saw; the oracle derives the
+    expected rewrites analytically from the generation formulas, so a
+    mining regression (missing/over-broad rule) breaks the dust_url
+    column."""
+    from spider_spark.operators import dust
+
     fr = _frontier(spark, sf_dir)
     seq = F.col("seq")
+    # --- DUST: mine from a deterministic alias corpus ---
+    g = F.floor(seq / 5).cast("long")
+    m = (seq % 5).cast("int")
+    shost = F.concat(F.lit("s"), (g % 50).cast("string"), F.lit(".example"))
+    ibase = F.concat(F.lit("http://"), shost, F.lit("/item/"), g.cast("string"))
+    corpus_url = (
+        F.when(m == 0, ibase)
+        .when(
+            m == 1,
+            F.concat(F.lit("http://www."), shost, F.lit("/item/"), g.cast("string")),
+        )
+        .when(m == 2, F.concat(ibase, F.lit("?sid="), seq.cast("string")))
+        .when(m == 3, F.concat(ibase, F.lit("/index.html")))
+        .otherwise(F.concat(ibase, F.lit("?utm=x&sid="), seq.cast("string")))
+    )
+    pages = fr.select(
+        corpus_url.alias("url"), F.concat(F.lit("g"), g.cast("string")).alias("digest")
+    )
+    rules = dust.mine_rules(dust.alias_pairs(pages), min_support=2)
+    nhost = F.concat(F.lit("s"), (seq % 50).cast("string"), F.lit(".example"))
+    fresh_url = (
+        F.when(
+            seq % 3 == 0,
+            F.concat(F.lit("http://www."), nhost, F.lit("/new/"), seq.cast("string")),
+        )
+        .when(
+            seq % 3 == 1,
+            F.concat(
+                F.lit("http://"), nhost, F.lit("/new/"), seq.cast("string"),
+                F.lit("?x=1&sid=9"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), nhost, F.lit("/new/"), seq.cast("string"),
+                F.lit("/index.html"),
+            )
+        )
+    )
+    dusted = dust.apply_rules(fr.select("seq", fresh_url.alias("url")), rules).select(
+        "seq", "dust_url"
+    )
     base_no_q = F.substring_index(F.col("canonical_url"), "?", 1)
     loop_pad = F.repeat(F.lit("/loop"), (seq % 5).cast("int"))
     depth_pad = F.substring(
@@ -154,7 +206,7 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.query_param_count_col(trap_url).alias("n_params"),
         F.length(trap_url).cast("int").alias("url_len"),
         U.is_trap_col(trap_url).alias("is_trap"),
-    )
+    ).join(dusted, "seq")
 
 
 def q_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,7 +2125,16 @@ def oracle_sql() -> dict[str, str]:
                     OR (CASE WHEN q = '' THEN 0
                         ELSE len(list_filter(string_split(q, '&'), p -> p != ''))
                         END) > 12
-                    OR length(trap_url) > 2048) AS is_trap
+                    OR length(trap_url) > 2048) AS is_trap,
+                   -- DUST rewrites derived analytically from the fresh-
+                   -- frontier generation formula: www host collapses to
+                   -- naked, sid strips (x=1 survives), /index.html strips
+                   CASE CAST(seq % 3 AS INT)
+                        WHEN 1 THEN 'http://s' || (seq % 50)
+                             || '.example/new/' || seq || '?x=1'
+                        ELSE 'http://s' || (seq % 50)
+                             || '.example/new/' || seq
+                   END AS dust_url
             FROM parsed
         """,
         "frontier_dedup": f"""

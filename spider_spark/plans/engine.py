@@ -113,6 +113,7 @@ class CrawlEngine:
         host_ranks: DataFrame | None = None,
         robots_texts: DataFrame | None = None,
         status_rules: DataFrame | None = None,
+        dust_rules: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -135,6 +136,11 @@ class CrawlEngine:
         #: alexandergreens_co_uk.py:31): listed statuses reach parse
         #: and never retry
         self.status_rules = status_rules
+        #: optional DUST rewrite dim (kind, scope, arg, support) —
+        #: operators/dust.mine_rules output; applied to every candidate
+        #: URL before identity/dedup so known aliases collapse onto
+        #: their canonical form and never cost a fetch
+        self.dust_rules = dust_rules
         #: optional link-authority dim (host, priority) — typically
         #: graphrank.rank_priorities over graphrank.host_graph of a
         #: PREVIOUS crawl's frontier (Cho et al. WWW'98 "crawl by URL
@@ -170,6 +176,17 @@ class CrawlEngine:
         ``recorded`` to the ``url_seen`` table (run() overlaps that
         write with the wave's other independent jobs).
         """
+        if self.dust_rules is not None:
+            # collapse known URL aliases (DUST, operators/dust.py) onto
+            # their canonical form BEFORE identity/fingerprinting, so an
+            # alias of an already-seen page dedups instead of fetching
+            from ..operators.dust import apply_rules
+
+            candidates = (
+                apply_rules(candidates, self.dust_rules)
+                .withColumn("url", F.col("dust_url"))
+                .drop("dust_url")
+            )
         cand = with_url_identity(candidates, self.cfg.n_buckets)
         if self.host_ranks is not None:
             # broadcast dim (one row per host): ranked hosts override the

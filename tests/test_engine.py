@@ -1074,3 +1074,45 @@ def test_feed_seed_expansion_unit(spark):
         0: ("http://t.example/p1", None),
         1: ("http://t.example/p3", "Wed, 03 Jan 2024 00:00:00 GMT"),
     }
+
+
+def test_dust_rules_collapse_alias_seeds(spark, tmp_path):
+    """CrawlEngine(dust_rules=...): alias-host seeds rewrite onto their
+    canonical host before identity/dedup, so the crawl fetches the real
+    pages AND an alias of an already-seen URL never fetches twice."""
+    from spider_spark.operators import dust
+    from spider_spark.storage.catalog import SnapshotStore
+
+    spec = WebSpec(seed=7, n_hosts=3, pages_per_host=2, details_per_page=2)
+    plain = seeds_df(spark, spec)
+    # reference run: plain seeds, no rules
+    s1 = SnapshotStore(spark, str(tmp_path / "plain"))
+    e1 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec),
+                     s1, CrawlConfig(max_waves=10))
+    r1 = e1.run(plain)
+
+    # alias run: every seed URL gets a www. prefix + a session param;
+    # the rules map both back
+    aliased = plain.withColumn(
+        "url",
+        F.concat(
+            F.lit("http://www."),
+            F.regexp_replace("url", r"^http://", ""),
+            F.lit("?sid=123"),
+        ),
+    )
+    hosts = [r["url"].split("/")[2] for r in plain.select("url").distinct().collect()]
+    rules = spark.createDataFrame(
+        [("host_alias", "www." + h, h, 5) for h in set(hosts)]
+        + [("strip_param", h, "sid", 5) for h in set(hosts)],
+        "kind string, scope string, arg string, support long",
+    )
+    s2 = SnapshotStore(spark, str(tmp_path / "dust"))
+    e2 = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec),
+                     s2, CrawlConfig(max_waves=10), dust_rules=rules)
+    r2 = e2.run(aliased)
+
+    assert r2 == r1  # identical fetched/docs/waves
+    d1 = {r["doc_id"] for r in e1.documents().select("doc_id").collect()}
+    d2 = {r["doc_id"] for r in e2.documents().select("doc_id").collect()}
+    assert d1 == d2 and len(d1) > 0

@@ -1952,3 +1952,91 @@ def test_link_directives_rel_and_meta(spark):
     assert out["u1"]["follow_links"] == ["/a", "/c"]
     assert out["u2"]["follow_links"] == [] and out["u2"]["noindex"]
     assert out["u3"]["follow_links"] == ["/a", "/c"] and out["u3"]["noindex"]
+
+
+def test_dust_mining_and_application(spark):
+    """DUST (WWW'07): alias groups from content digests -> rules with
+    min-support -> application to UNFETCHED frontier URLs. A URL hit by
+    two rule families (www host + session param) collapses fully
+    because host_alias applies before strip_param."""
+    from spider_spark.operators import dust
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/p1", "d1"), ("http://www.a.example/p1", "d1"),
+            ("http://a.example/p2", "d2"), ("http://www.a.example/p2", "d2"),
+            ("http://b.example/x?cat=1", "d3"),
+            ("http://b.example/x?cat=1&sid=42", "d3"),
+            ("http://b.example/y", "d4"), ("http://b.example/y?sid=9", "d4"),
+            ("http://c.example/d/", "d5"), ("http://c.example/d/index.html", "d5"),
+            ("http://c.example/e/", "d6"), ("http://c.example/e/index.html", "d6"),
+            # support-1 noise: must NOT become a rule
+            ("http://n.example/one", "d7"), ("http://n.example/one?once=1", "d7"),
+            ("http://z.example/q", "d8"),
+        ],
+        "url string, digest string",
+    )
+    rules = dust.mine_rules(dust.alias_pairs(pages), min_support=2)
+    got = {(r["kind"], r["scope"], r["arg"], r["support"]) for r in rules.collect()}
+    assert got == {
+        ("host_alias", "www.a.example", "a.example", 2),
+        ("strip_param", "b.example", "sid", 2),
+        ("strip_suffix", "c.example", "index.html", 2),
+    }
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://www.a.example/new?z=1",),
+            ("http://b.example/fresh?sid=777&cat=2",),
+            ("http://b.example/all?sid=1",),      # query empties entirely
+            ("http://c.example/new/index.html",),
+            ("http://c.example/index.html",),     # collapses to the root
+            ("http://untouched.example/ok",),
+        ],
+        "url string",
+    )
+    out = {r["url"]: r["dust_url"] for r in dust.apply_rules(frontier, rules).collect()}
+    assert out["http://www.a.example/new?z=1"] == "http://a.example/new?z=1"
+    assert out["http://b.example/fresh?sid=777&cat=2"] == "http://b.example/fresh?cat=2"
+    assert out["http://b.example/all?sid=1"] == "http://b.example/all"
+    assert out["http://c.example/new/index.html"] == "http://c.example/new/"
+    # the mined suffix is 'index.html' (canonical paths end in '/'), so
+    # the root page generalizes to '/' — consistent DUST substitution
+    assert out["http://c.example/index.html"] == "http://c.example/"
+    assert out["http://untouched.example/ok"] == "http://untouched.example/ok"
+
+
+def test_dust_chained_rules_and_scope_dedup(spark):
+    """A www-host URL carrying a session param needs BOTH rewrites in
+    one pass; two competing suffix rules on one host fan out to a
+    single applied rule (best support, then lexicographic min)."""
+    from spider_spark.operators import dust
+
+    rules = spark.createDataFrame(
+        [
+            ("host_alias", "www.a.example", "a.example", 5),
+            ("strip_param", "a.example", "sid", 5),
+            ("strip_suffix", "s.example", "/print", 2),
+            ("strip_suffix", "s.example", "/amp", 7),
+            ("strip_suffix", "t.example", "/page", 4),
+        ],
+        "kind string, scope string, arg string, support long",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://www.a.example/p?sid=3&k=v",),
+            ("http://s.example/a/amp",),
+            ("http://s.example/a/print",),  # loses to the /amp rule
+            ("http://t.example/page",),     # path == suffix: kept whole
+        ],
+        "url string",
+    )
+    out = {r["url"]: r["dust_url"] for r in dust.apply_rules(frontier, rules).collect()}
+    # host alias rewrote first, so the strip_param scope (a.example) matches
+    assert out["http://www.a.example/p?sid=3&k=v"] == "http://a.example/p?k=v"
+    assert out["http://s.example/a/amp"] == "http://s.example/a"
+    # one row out per row in — no join fan-out from the competing rule
+    assert dust.apply_rules(frontier, rules).count() == 4
+    assert out["http://s.example/a/print"] == "http://s.example/a/print"
+    # stripping would empty the path entirely -> rule does not apply
+    assert out["http://t.example/page"] == "http://t.example/page"
