@@ -896,10 +896,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM-scoring pipeline shape with the KenLM stage as a corpus-fit
     unigram model; min_count=2 + vocab_cap=4096 exercise both model
     bounds) as lp_e3, the per-doc average log-prob quantized to 1e-3
-    integer units for hash stability."""
+    integer units for hash stability. Round 4 third pass folds in the
+    inverted-index top-term surface (operators/index.top_terms —
+    postings + document frequencies under an all-integer max-tf /
+    min-df / min-term ordering, so the index build is oracle-checked
+    with no transcendental in the ranking)."""
     from spider_spark.operators import lmquality as LM
+    from spider_spark.operators.index import top_terms
 
     docs = _t(spark, sf_dir, "documents")
+    top = top_terms(docs)
     model = LM.fit_unigram(docs, min_count=2, vocab_cap=4096)
     lp = LM.score_unigram(docs, model).select(
         "doc_id",
@@ -941,7 +947,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.gopher_pass(
             F.size(F.col("toks")), mean_wl, sym_ratio, dupline, bullet, ellipsis, top2
         ).alias("gopher_pass"),
-    ).join(lp, "doc_id")
+    ).join(lp, "doc_id").join(top, "doc_id", "left")
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,9 +1383,14 @@ def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/feeds.py) — entry-link extraction over deterministic feed
     XML; the RSS document carries a channel-level <link> that must NOT
     extract (item-scoped (?s) pattern) and the Atom entries carry
-    rel-attributed <link href> forms."""
-    from spider_spark.sources.feeds import extract_atom_links, extract_rss_links
-    from spider_spark.sources.sitemap import extract_sitemap_locs
+    rel-attributed <link href> forms. Extended (round 4, third pass) to
+    the full freshness surface: each arm goes through its per-entry
+    two-step extractor (sitemap_entries / feed_entries) and emits the
+    entry's OWN date (<lastmod>/<pubDate>/<updated>, NULL on the
+    dateless second entries — pinning that a dateless entry never
+    borrows its neighbor's)."""
+    from spider_spark.sources.feeds import feed_entries
+    from spider_spark.sources.sitemap import sitemap_entries
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
@@ -1388,7 +1399,9 @@ def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
         did,
         F.lit("</loc></url><url><loc> http://s.example/page/"),
         (F.col("doc_id") % 7).cast("string"),
-        F.lit(" </loc></url></urlset>"),
+        F.lit(" </loc><lastmod>2024-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-15</lastmod></url></urlset>"),
     )
     rss = F.concat(
         F.lit(
@@ -1396,31 +1409,42 @@ def q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<item><title>t</title>\n<link> http://f.example/rss/"
         ),
         did,
-        F.lit(" </link><pubDate>Mon, 01 Jan 2024</pubDate></item><item><link>http://f.example/rss/p"),
+        F.lit(" </link><pubDate>Mon, 0"),
+        (F.col("doc_id") % 7 + 1).cast("string"),
+        F.lit(" Jan 2024</pubDate></item><item><link>http://f.example/rss/p"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit("</link></item></channel></rss>"),
     )
     atom = F.concat(
         F.lit('<feed><entry>\n<link rel="alternate" href="http://f.example/atom/'),
         did,
-        F.lit('"/><updated>2024-01-02</updated></entry><entry><link href="http://f.example/atom/p'),
+        F.lit('"/><updated>2024-01-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit('</updated></entry><entry><link href="http://f.example/atom/p'),
         (F.col("doc_id") % 5).cast("string"),
         F.lit('"/></entry></feed>'),
     )
-    sm = docs.select(
-        "doc_id",
+    sm = sitemap_entries(docs.select(did.alias("url"), xml.alias("xml"))).select(
+        F.col("sitemap_url").cast("long").alias("doc_id"),
         F.lit("sitemap").alias("src"),
-        F.posexplode(extract_sitemap_locs(xml)).alias("pos", "loc"),
+        "pos",
+        "loc",
+        F.col("lastmod").alias("published"),
     )
-    rs = docs.select(
-        "doc_id",
+    feeds_df = docs.select(did.alias("url"), rss.alias("rss"), atom.alias("atom"))
+    rs = feed_entries(feeds_df, xml_col="rss").select(
+        F.col("feed_url").cast("long").alias("doc_id"),
         F.lit("rss").alias("src"),
-        F.posexplode(extract_rss_links(rss)).alias("pos", "loc"),
+        "pos",
+        F.col("link").alias("loc"),
+        "published",
     )
-    at = docs.select(
-        "doc_id",
+    at = feed_entries(feeds_df, xml_col="atom").select(
+        F.col("feed_url").cast("long").alias("doc_id"),
         F.lit("atom").alias("src"),
-        F.posexplode(extract_atom_links(atom)).alias("pos", "loc"),
+        "pos",
+        F.col("link").alias("loc"),
+        "published",
     )
     return sm.unionByName(rs).unionByName(at)
 
@@ -2559,8 +2583,25 @@ def oracle_sql() -> dict[str, str]:
                     AND sym_ratio <= 0.1 AND dupline_frac <= 0.30
                     AND bullet_frac <= 0.90 AND ellipsis_frac <= 0.30
                     AND top2_frac <= 0.20) AS gopher_pass,
-                   CAST(floor(lp.avg_lp * 1000 + 0.5) AS BIGINT) AS lp_e3
+                   CAST(floor(lp.avg_lp * 1000 + 0.5) AS BIGINT) AS lp_e3,
+                   ix.top_term, ix.top_term_tf, ix.top_term_df
             FROM g LEFT JOIN lp USING (doc_id)
+            LEFT JOIN (
+                WITH ptok AS (SELECT doc_id, {_TOKENS_SQL} AS toks
+                              FROM documents),
+                pocc AS (SELECT doc_id, unnest(toks) AS term FROM ptok),
+                p AS (SELECT term, doc_id, count(*) AS tf
+                      FROM pocc GROUP BY 1, 2),
+                d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+                tt AS (SELECT doc_id, term, tf, df,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, df ASC, term ASC) AS rn
+                       FROM p JOIN d USING (term))
+                SELECT doc_id, term AS top_term,
+                       CAST(tf AS BIGINT) AS top_term_tf,
+                       CAST(df AS BIGINT) AS top_term_df
+                FROM tt WHERE rn = 1
+            ) ix USING (doc_id)
         """,
         "exact_dedup": """
             WITH fp AS (
@@ -3047,34 +3088,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 'sitemap' AS src,
                        '<?xml version="1.0"?><urlset><url><loc>http://s.example/d/'
                        || doc_id || '</loc></url><url><loc> http://s.example/page/'
-                       || (doc_id % 7) || ' </loc></url></urlset>' AS xml,
-                       '<loc>\\s*([^<]+?)\\s*</loc>' AS pat
+                       || (doc_id % 7) || ' </loc><lastmod>2024-0'
+                       || (doc_id % 9 + 1) || '-15</lastmod></url></urlset>' AS xml,
+                       '(?s)<url>(.*?)</url>' AS pb,
+                       '<loc>\\s*([^<]+?)\\s*</loc>' AS pl,
+                       '<lastmod>\\s*([^<]+?)\\s*</lastmod>' AS pd
                 FROM documents
                 UNION ALL
                 SELECT doc_id, 'rss',
                        '<rss><channel><link>http://f.example/home</link>'
                        || '<item><title>t</title>' || chr(10)
                        || '<link> http://f.example/rss/' || doc_id
-                       || ' </link><pubDate>Mon, 01 Jan 2024</pubDate></item>'
+                       || ' </link><pubDate>Mon, 0' || (doc_id % 7 + 1)
+                       || ' Jan 2024</pubDate></item>'
                        || '<item><link>http://f.example/rss/p' || (doc_id % 7)
                        || '</link></item></channel></rss>',
-                       '(?s)<item>.*?<link>\\s*([^<]+?)\\s*</link>'
+                       '(?s)<item>(.*?)</item>',
+                       '<link>\\s*([^<]+?)\\s*</link>',
+                       '<pubDate>\\s*([^<]+?)\\s*</pubDate>'
                 FROM documents
                 UNION ALL
                 SELECT doc_id, 'atom',
                        '<feed><entry>' || chr(10)
                        || '<link rel="alternate" href="http://f.example/atom/'
-                       || doc_id || '"/><updated>2024-01-02</updated></entry>'
+                       || doc_id || '"/><updated>2024-01-0' || (doc_id % 9 + 1)
+                       || '</updated></entry>'
                        || '<entry><link href="http://f.example/atom/p'
                        || (doc_id % 5) || '"/></entry></feed>',
-                       '(?s)<entry>.*?<link[^>]*href="([^"]+)"'
+                       '(?s)<entry>(.*?)</entry>',
+                       '<link[^>]*href="([^"]+)"',
+                       '<updated>\\s*([^<]+?)\\s*</updated>'
                 FROM documents),
-            l AS (SELECT doc_id, src,
-                         regexp_extract_all(xml, pat, 1) AS locs
-                  FROM x)
-            SELECT doc_id, src, CAST(u.o - 1 AS INT) AS pos, u.loc
-            FROM l, LATERAL (SELECT unnest(locs) AS loc,
-                                    generate_subscripts(locs, 1) AS o) u
+            b AS (SELECT doc_id, src, pl, pd,
+                         regexp_extract_all(xml, pb, 1) AS blocks
+                  FROM x),
+            e AS (SELECT doc_id, src, pl, pd, u.o AS ord, u.bk
+                  FROM b, LATERAL (SELECT unnest(blocks) AS bk,
+                                          generate_subscripts(blocks, 1) AS o) u),
+            f AS (SELECT doc_id, src, ord,
+                         regexp_extract(bk, pl, 1) AS loc,
+                         nullif(regexp_extract(bk, pd, 1), '') AS published
+                  FROM e)
+            SELECT doc_id, src,
+                   CAST(row_number() OVER (PARTITION BY doc_id, src
+                                           ORDER BY ord) - 1 AS INT) AS pos,
+                   loc, published
+            FROM f WHERE loc <> ''
         """,
         "json_source": """
             SELECT event_id AS eid, CAST(props->>'$.k' AS INT) AS k FROM events

@@ -213,3 +213,26 @@ def robots_check(
     return joined.withColumn("robots_allowed", allowed).drop(
         "robots_disallow", "robots_allow"
     )
+
+
+#: RFC 9309 §2.3 "Sitemap" non-group line (also the sitemaps.org
+#: robots.txt extension): case-insensitive key, value is an absolute
+#: URL, valid ANYWHERE in the file regardless of user-agent groups
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def sitemap_urls_from_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, pos, sitemap_url) — the discovery
+    hook that closes the loop robots.txt -> sitemap -> pages: a crawler
+    that fetched a host's robots.txt learns its sitemap URLs without
+    guessing /sitemap.xml. Pure JVM regex over the HOST dim (the same
+    cost class as the rule parser's input); group membership is
+    irrelevant per RFC 9309, so no group parsing is needed."""
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_SITEMAP_LINE_RE), 1)
+        ).alias("pos", "sitemap_url"),
+    )

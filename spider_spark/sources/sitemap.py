@@ -67,3 +67,45 @@ def expand_sitemap_seeds(
         out = out.unionByName(expanded.filter(~is_map))
         pending = expanded.filter(is_map)
     return out
+
+
+#: per-entry block patterns for the freshness path (same two-step
+#: convention as sources/feeds.py: slice into <url> bodies FIRST so an
+#: entry missing <lastmod> can never borrow its neighbor's)
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_LOC_IN_URL_RE = r"<loc>\s*([^<]+?)\s*</loc>"
+_LASTMOD_IN_URL_RE = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, url_col: str = "url", xml_col: str = "xml"
+) -> DataFrame:
+    """``sitemaps(url, xml)`` -> (sitemap_url, pos, loc, lastmod) — the
+    freshness-aware discovery surface (sitemaps.org protocol, public):
+    ``lastmod`` is the raw W3C-datetime payload (NULL when the entry
+    omits it) that a change-rate recrawl scheduler
+    (operators/revisit.py) can seed its interval estimate from, the
+    same way feed pubDates do. Entries with no <loc> (malformed) drop.
+    """
+    bodies = F.regexp_extract_all(F.col(xml_col), F.lit(_URL_BLOCK_RE), 1)
+    entries = F.filter(
+        F.transform(
+            bodies,
+            lambda b: F.struct(
+                F.regexp_extract(b, _LOC_IN_URL_RE, 1).alias("loc"),
+                F.nullif(F.regexp_extract(b, _LASTMOD_IN_URL_RE, 1), F.lit("")).alias(
+                    "lastmod"
+                ),
+            ),
+        ),
+        lambda s: s["loc"] != "",
+    )
+    return sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        F.posexplode(entries).alias("pos", "e"),
+    ).select(
+        "sitemap_url",
+        "pos",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+    )

@@ -1116,3 +1116,53 @@ def test_dust_rules_collapse_alias_seeds(spark, tmp_path):
     d1 = {r["doc_id"] for r in e1.documents().select("doc_id").collect()}
     d2 = {r["doc_id"] for r in e2.documents().select("doc_id").collect()}
     assert d1 == d2 and len(d1) > 0
+
+
+def test_sitemap_entries_lastmod_and_robots_sitemap_discovery(spark):
+    """Freshness-aware discovery: sitemap_entries pairs each <loc> with
+    ITS OWN <lastmod> (two-step per-entry extraction — a dateless entry
+    must not borrow its neighbor's), and robots.txt 'Sitemap:' lines
+    surface per RFC 9309 (case-insensitive, any position, group-
+    independent)."""
+    from spider_spark.operators.robots import sitemap_urls_from_robots
+    from spider_spark.sources.sitemap import sitemap_entries
+
+    maps = spark.createDataFrame(
+        [
+            (
+                "http://a.example/sitemap.xml",
+                "<urlset><url><loc> http://a.example/p1 </loc></url>"
+                "<url><loc>http://a.example/p2</loc>"
+                "<lastmod>2024-02-03</lastmod></url>"
+                "<url><lastmod>2024-09-09</lastmod></url>"  # no loc: drops
+                "</urlset>",
+            )
+        ],
+        "url string, xml string",
+    )
+    ent = {r["pos"]: (r["loc"], r["lastmod"]) for r in sitemap_entries(maps).collect()}
+    assert ent == {
+        0: ("http://a.example/p1", None),
+        1: ("http://a.example/p2", "2024-02-03"),
+    }
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nDisallow: /private\n"
+                "SITEMAP: http://a.example/sitemap.xml\n"
+                "User-agent: other\nsitemap:http://a.example/s2.xml.gz\n",
+            ),
+            ("b.example", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r["host"], r["pos"], r["sitemap_url"])
+        for r in sitemap_urls_from_robots(robots).collect()
+    }
+    assert got == {
+        ("a.example", 0, "http://a.example/sitemap.xml"),
+        ("a.example", 1, "http://a.example/s2.xml.gz"),
+    }

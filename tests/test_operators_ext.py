@@ -2040,3 +2040,48 @@ def test_dust_chained_rules_and_scope_dedup(spark):
     assert out["http://s.example/a/print"] == "http://s.example/a/print"
     # stripping would empty the path entirely -> rule does not apply
     assert out["http://t.example/page"] == "http://t.example/page"
+
+
+def test_inverted_index_postings_and_top_terms(spark):
+    """Posting lists carry 0-based ascending positions and per-doc tf;
+    document frequencies count docs (not occurrences); top_terms ranks
+    max-tf, then min-df (rarer wins), then lexicographic term."""
+    from spider_spark.operators import index as IX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana cherry"),
+            (3, "cherry date"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    post = {
+        (r["term"], r["doc_id"]): (r["tf"], r["positions"])
+        for r in IX.postings(docs).collect()
+    }
+    assert post[("apple", 1)] == (2, [0, 2])
+    assert post[("banana", 1)] == (1, [1])
+    assert post[("banana", 2)] == (2, [0, 1])
+    assert post[("cherry", 3)] == (1, [0])
+    assert not any(d == 4 for _, d in post)  # empty doc: no postings
+
+    dfs = {r["term"]: r["df"] for r in IX.doc_frequencies(IX.postings(docs)).collect()}
+    assert dfs == {"apple": 1, "banana": 2, "cherry": 3, "date": 1}
+
+    top = {r["doc_id"]: (r["top_term"], r["top_term_tf"], r["top_term_df"])
+           for r in IX.top_terms(docs).collect()}
+    # doc 1: apple tf=2 wins outright
+    assert top[1] == ("apple", 2, 1)
+    # doc 2: banana tf=2 wins
+    assert top[2] == ("banana", 2, 2)
+    # doc 3: tf tie (1,1) -> rarer df wins: date (df=1) beats cherry (df=3)
+    assert top[3] == ("date", 1, 1)
+    assert 4 not in top
+
+    tf = {(r["doc_id"], r["term"]): r["tfidf"] for r in IX.tfidf(docs).collect()}
+    # smooth idf: ln((1+N)/(1+df)) + 1, N=4
+    import math
+    assert abs(tf[(1, "apple")] - 2 * (math.log(5 / 2) + 1)) < 1e-9
+    assert abs(tf[(3, "cherry")] - 1 * (math.log(5 / 4) + 1)) < 1e-9
