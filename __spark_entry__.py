@@ -309,7 +309,23 @@ def q_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     raw_util = N.extract_utilities("€", util_desc)
-    return ev.select(
+    # folded in (round 4, third pass): registered-domain extraction
+    # (functions/domains.py — the publicsuffix.org algorithm over the
+    # builtin PSL shapes): six host forms exercise multi-label rules,
+    # the *.ck wildcard, the !www.ck exception, an unregistrable
+    # public-suffix host (NULL), and the implicit-* fallback
+    from spider_spark.functions.domains import psl_dim, with_registered_domain
+
+    hid = (eid % 20).cast("string")
+    test_host = (
+        F.when(eid % 6 == 0, F.concat(F.lit("shop.h"), hid, F.lit(".co.uk")))
+        .when(eid % 6 == 1, F.concat(F.lit("h"), hid, F.lit(".com")))
+        .when(eid % 6 == 2, F.concat(F.lit("foo.h"), hid, F.lit(".ck")))
+        .when(eid % 6 == 3, F.lit("sub.www.ck"))
+        .when(eid % 6 == 4, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("x.y"), hid, F.lit(".unknown")))
+    )
+    out = ev.select(
         eid.alias("eid"),
         N.extract_last_number_only(raw1, ".", ",").try_cast("double").alias("last_num"),
         N.remove_unicode_char(uni_raw).alias("ascii_text"),
@@ -317,7 +333,9 @@ def q_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         N.currency_parser(rent, src).alias("currency"),
         raw_util.alias("utilities_raw"),
         N.convert_string_to_numeric(raw_util, ".", ",").alias("utilities"),
+        test_host.alias("test_host"),
     )
+    return with_registered_domain(out, psl_dim(spark), host_col="test_host")
 
 
 def q_retry_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2273,7 +2291,27 @@ def oracle_sql() -> dict[str, str]:
                    utilities_raw,
                    CASE WHEN utilities_raw IS NULL THEN NULL
                         ELSE try_cast(CASE WHEN numstr = '' THEN '0' ELSE numstr END
-                                      AS DOUBLE) END AS utilities
+                                      AS DOUBLE) END AS utilities,
+                   -- registered-domain fold: expected values derived
+                   -- analytically from the test-host formula under the
+                   -- builtin PSL (multi-label rule, *.ck wildcard,
+                   -- !www.ck exception, public-suffix NULL, implicit-*)
+                   CASE CAST(eid % 6 AS INT)
+                        WHEN 0 THEN 'shop.h' || (eid % 20) || '.co.uk'
+                        WHEN 1 THEN 'h' || (eid % 20) || '.com'
+                        WHEN 2 THEN 'foo.h' || (eid % 20) || '.ck'
+                        WHEN 3 THEN 'sub.www.ck'
+                        WHEN 4 THEN 'co.uk'
+                        ELSE 'x.y' || (eid % 20) || '.unknown'
+                   END AS test_host,
+                   CASE CAST(eid % 6 AS INT)
+                        WHEN 0 THEN 'h' || (eid % 20) || '.co.uk'
+                        WHEN 1 THEN 'h' || (eid % 20) || '.com'
+                        WHEN 2 THEN 'foo.h' || (eid % 20) || '.ck'
+                        WHEN 3 THEN 'www.ck'
+                        WHEN 4 THEN NULL
+                        ELSE 'y' || (eid % 20) || '.unknown'
+                   END AS reg_domain
             FROM q
         """,
         "retry_policy": f"""

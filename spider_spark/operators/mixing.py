@@ -143,3 +143,71 @@ def pack_shards(
         )
         .select(out_cols)
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float,
+    stratum_col: str = "source",
+    target_fraction_of_max: float = 1.0,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over the observed strata —
+    the multilingual/multi-source sampling rule of public recipes
+    (mBERT/XLM-R exponentiated sampling; Pile/Dolma source upweighting):
+    a stratum with share p_i of the corpus is sampled proportionally to
+    ``p_i ** alpha``. ``alpha=1`` keeps natural proportions, ``alpha=0``
+    is uniform-over-strata, ``0<alpha<1`` flattens head strata and
+    boosts the tail.
+
+    Returns a (stratum, n, p, q, rate) dim for
+    :func:`deterministic_sample`: ``q`` is the renormalized target
+    share and ``rate = q/p`` scaled so the LARGEST rate equals
+    ``target_fraction_of_max`` (keep rates are probabilities — you
+    can't sample more than you have without replacement, so the
+    binding stratum keeps everything and the others downsample
+    proportionally).
+
+    One groupBy on the stratum column (map-side combinable); the dim is
+    strata-sized, broadcast onward.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").cast("double").alias("n"))
+    tot = counts.agg(F.sum("n").alias("_t"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "n",
+        (F.col("n") / F.col("_t")).alias("p"),
+        F.pow(F.col("n") / F.col("_t"), F.lit(float(alpha))).alias("_w"),
+    )
+    wt = w.agg(F.sum("_w").alias("_wt"))
+    q = w.crossJoin(F.broadcast(wt)).select(
+        stratum_col, "n", "p", (F.col("_w") / F.col("_wt")).alias("q")
+    )
+    rmax = q.agg(F.max(F.col("q") / F.col("p")).alias("_rmax"))
+    return q.crossJoin(F.broadcast(rmax)).select(
+        stratum_col,
+        "n",
+        "p",
+        "q",
+        (
+            (F.col("q") / F.col("p")) / F.col("_rmax")
+            * F.lit(float(target_fraction_of_max))
+        ).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """:func:`temperature_rates` composed with
+    :func:`deterministic_sample` — one corpus pass to count, one to
+    gate; same hash determinism guarantees as the underlying sampler."""
+    rates = temperature_rates(df, alpha, stratum_col=stratum_col).select(
+        stratum_col, "rate"
+    )
+    return deterministic_sample(
+        df, rates, stratum_col=stratum_col, key_col=key_col, salt=salt
+    )

@@ -2085,3 +2085,86 @@ def test_inverted_index_postings_and_top_terms(spark):
     import math
     assert abs(tf[(1, "apple")] - 2 * (math.log(5 / 2) + 1)) < 1e-9
     assert abs(tf[(3, "cherry")] - 1 * (math.log(5 / 4) + 1)) < 1e-9
+
+
+def test_registered_domain_psl_algorithm(spark):
+    """publicsuffix.org algorithm over the builtin PSL: normal and
+    multi-label rules, the *.ck wildcard (needs its extra label), the
+    !www.ck exception (beats the wildcard), unregistrable public-suffix
+    hosts -> NULL, unmatched hosts -> implicit-* fallback, case folding."""
+    from spider_spark.functions.domains import (
+        psl_dim,
+        registered_domains,
+        with_registered_domain,
+    )
+
+    psl = psl_dim(spark)
+    cases = {
+        "shop.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": None,           # is a public suffix
+        "uk": None,
+        "www.example.com": "example.com",
+        "com": None,
+        "a.b.co.jp": "b.co.jp",
+        "foo.bar.ck": "foo.bar.ck",   # *.ck -> public suffix bar.ck
+        "bar.ck": None,               # is itself a wildcard public suffix
+        "ck": None,
+        "www.ck": "www.ck",           # exception rule
+        "sub.www.ck": "www.ck",
+        "x.y.unknown": "y.unknown",   # implicit '*' fallback
+        "unknown": None,
+        "WWW.EXAMPLE.ORG.UK": "example.org.uk",  # case folds
+    }
+    hosts = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {r["host"]: r["reg_domain"] for r in registered_domains(hosts, psl).collect()}
+    assert got == {h.lower(): v for h, v in cases.items()}
+
+    # stream join-back: row count preserved, column attached
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(list(cases) + list(cases))],
+        "id long, host string",
+    )
+    out = with_registered_domain(df, psl)
+    assert out.count() == df.count()
+    row = out.filter(F.col("host") == "shop.example.co.uk").first()
+    assert row["reg_domain"] == "example.co.uk"
+
+
+def test_temperature_mixing_rates_and_sample(spark):
+    """Temperature-scaled mixture weights (mBERT/XLM-R exponentiated
+    sampling): alpha=1 keeps natural proportions (all rates exactly
+    1.0), alpha=0 targets uniform-over-strata with the smallest stratum
+    binding at rate 1.0; the composed sampler is deterministic.
+    (Pytest-pinned, not oracle-folded: the rate computation crosses
+    pow/sum whose last-ulp behavior is engine-specific — the
+    oracle-checked gate stays deterministic_sample with exact-dyadic
+    rates in data_mix.)"""
+    from spider_spark.operators import mixing as MX
+
+    rows = (
+        [(i, "a") for i in range(800)]
+        + [(i + 1000, "b") for i in range(100)]
+        + [(i + 2000, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    r1 = {r["source"]: r for r in MX.temperature_rates(df, alpha=1.0).collect()}
+    assert all(r1[s]["rate"] == 1.0 for s in ("a", "b", "c"))
+    assert r1["a"]["p"] == 0.8 and r1["b"]["q"] == r1["b"]["p"]
+
+    r0 = {r["source"]: r for r in MX.temperature_rates(df, alpha=0.0).collect()}
+    # q uniform = 1/3; q/p = .4166/3.33/3.33 -> max normalizes b,c to 1.0
+    assert r0["b"]["rate"] == 1.0 and r0["c"]["rate"] == 1.0
+    assert abs(r0["a"]["rate"] - 0.125) < 1e-12
+    assert abs(r0["a"]["q"] - 1 / 3) < 1e-12
+
+    kept = MX.temperature_sample(df, alpha=0.0)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 100 and counts["c"] == 100  # rate 1.0 keeps all
+    assert 60 <= counts["a"] <= 140  # ~12.5% of 800, hash-gated
+    # deterministic: the same rows every run
+    k1 = sorted(r["doc_id"] for r in kept.collect())
+    k2 = sorted(r["doc_id"] for r in MX.temperature_sample(df, alpha=0.0).collect())
+    assert k1 == k2
