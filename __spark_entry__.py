@@ -1025,7 +1025,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the damping-free OPIC importance twin (graphrank.opic — Abiteboul,
     Preda & Cobena WWW'03 cash/history scheme, synchronous batch
     variant) as opic_ppm over the same graph and round count, oracled
-    by the same unrolled-CTE recursion."""
+    by the same unrolled-CTE recursion. Round 4 (fourth pass) also
+    folds in HITS hubs/authorities (graphrank.hits — Kleinberg JACM'99,
+    L1-normalized synchronous half-rounds) as hub_ppm/auth_ppm, 4
+    rounds, same unrolled-CTE oracle trick."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         (F.col("l_orderkey") % 300).alias("src"),
@@ -1035,10 +1038,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     opic_ranks = GR.opic(edges, n_iter=6).select(
         "node", F.col("rank").alias("opic")
     )
-    return ranks.join(opic_ranks, "node").select(
-        "node",
-        F.round(F.col("rank") * 1000000, 2).alias("rank_ppm"),
-        F.round(F.col("opic") * 1000000, 2).alias("opic_ppm"),
+    hits_ranks = GR.hits(edges, n_iter=4)
+    return (
+        ranks.join(opic_ranks, "node")
+        .join(hits_ranks, "node")
+        .select(
+            "node",
+            F.round(F.col("rank") * 1000000, 2).alias("rank_ppm"),
+            F.round(F.col("opic") * 1000000, 2).alias("opic_ppm"),
+            F.round(F.col("hub") * 1000000, 2).alias("hub_ppm"),
+            F.round(F.col("auth") * 1000000, 2).alias("auth_ppm"),
+        )
     )
 
 
@@ -2126,6 +2136,35 @@ def oracle_sql() -> dict[str, str]:
 
     opic_iters = ",".join(opic_round(f"o{i}", f"o{i + 1}") for i in range(6))
 
+    # hits: same unrolled trick for the hub/authority half-rounds
+    # (graphrank.hits, L1-normalized) — auth = sum of hubs over
+    # in-edges then normalize, hub = sum of auths over out-edges then
+    # normalize; zero-degree nodes coalesce to 0.
+    def hits_round(prev: str, cur: str) -> str:
+        return f"""
+            {cur}ar AS MATERIALIZED (
+                SELECT s.node, s.hub, coalesce(i.a, 0) AS auth
+                FROM {prev} s
+                LEFT JOIN (SELECT e.dst, sum(s2.hub) AS a
+                           FROM {prev} s2 JOIN e ON e.src = s2.node
+                           GROUP BY e.dst) i ON i.dst = s.node),
+            {cur}an AS MATERIALIZED (
+                SELECT node, hub,
+                       auth / (SELECT sum(auth) FROM {cur}ar) AS auth
+                FROM {cur}ar),
+            {cur}hr AS MATERIALIZED (
+                SELECT a.node, coalesce(j.h, 0) AS hub, a.auth
+                FROM {cur}an a
+                LEFT JOIN (SELECT e.src, sum(a2.auth) AS h
+                           FROM {cur}an a2 JOIN e ON e.dst = a2.node
+                           GROUP BY e.src) j ON j.src = a.node),
+            {cur} AS MATERIALIZED (
+                SELECT node, hub / (SELECT sum(hub) FROM {cur}hr) AS hub,
+                       auth
+                FROM {cur}hr)"""
+
+    hits_iters = ",".join(hits_round(f"h{i}", f"h{i + 1}") for i in range(4))
+
     return {
         "url_canonicalize": f"""
             WITH fr AS ({_FRONTIER_SQL}),
@@ -2752,10 +2791,16 @@ def oracle_sql() -> dict[str, str]:
             {pr_iters},
             o0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS cash,
                           CAST(0.0 AS DOUBLE) AS hist FROM nodes),
-            {opic_iters}
+            {opic_iters},
+            h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub,
+                          1.0 / (SELECT n FROM nn) AS auth FROM nodes),
+            {hits_iters}
             SELECT r6.node, round(r6.rank * 1000000, 2) AS rank_ppm,
-                   round((o6.hist + o6.cash) / 7.0 * 1000000, 2) AS opic_ppm
+                   round((o6.hist + o6.cash) / 7.0 * 1000000, 2) AS opic_ppm,
+                   round(h4.hub * 1000000, 2) AS hub_ppm,
+                   round(h4.auth * 1000000, 2) AS auth_ppm
             FROM r6 JOIN o6 ON o6.node = r6.node
+            JOIN h4 ON h4.node = r6.node
         """,
         "revisit": """
             WITH h AS (

@@ -285,6 +285,15 @@ def cpu_drift_probe(spins: int = 20_000_000) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min system loadavg (0s where unreadable)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return [0.0, 0.0, 0.0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frontier-only", action="store_true")
@@ -299,6 +308,7 @@ def main():
     # benches opt into tmpfs local dirs (shared-disk spill serializes
     # multi-core scaling on this box); ordinary sessions stay on disk
     probe_pre = cpu_drift_probe()
+    loadavg_pre = _loadavg()
     spark = get_spark("spider_spark_bench", cpus=args.cpus, tmpfs_local_dir=True)
     cpus = spark.sparkContext.defaultParallelism
     sf_dir = DEFAULT_SF_DIR
@@ -333,6 +343,11 @@ def main():
         "crawl_loop": crawl_stats,
         "cpus": cpus,
         "cpu_probe_s": {"pre": probe_pre, "post": cpu_drift_probe()},
+        # tenant forensics: start/end CPU probes miss a co-tenant that is
+        # only active MID-run (observed 2026-08-19: clean probes, 10x
+        # inflated shuffle stages); the 1/5/15-min loadavg triple at both
+        # ends dates such interference
+        "loadavg": {"pre": loadavg_pre, "post": _loadavg()},
     }
     print(json.dumps(result))
 

@@ -237,3 +237,70 @@ def opic(
         "node",
         ((F.col("hist") + F.col("cash")) / F.lit(float(n_iter) + 1.0)).alias("rank"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 4,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM'99/SODA'98 — public algorithm).
+
+    The complementary signal to PageRank/OPIC a frontier scheduler
+    uses: a high-HUB page (link directory, sitemap-like index) is worth
+    crawling because its out-links reach many authorities; a high-
+    AUTHORITY page is worth storing/recrawling. Synchronous iterations:
+    ``auth = Σ hub`` over in-edges, L1-normalize, ``hub = Σ auth`` over
+    out-edges, L1-normalize (L1 instead of Kleinberg's L2 — same
+    fixpoint direction, and the normalizer is a plain sum the SQL
+    oracle reproduces). Returns (node, hub, auth), each summing to 1.
+
+    Scale shape per half-round — identical to :func:`pagerank`: one
+    state ⋈ edges equi-join + one map-side-combinable groupBy sum; the
+    normalizer collapses to ONE driver scalar; lineage truncated per
+    round with localCheckpoint.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    e = e.localCheckpoint()
+    state = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        auth_raw = (
+            state.join(e, state["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a"))
+        )
+        astate = state.join(auth_raw, state["node"] == auth_raw["dst"], "left").select(
+            "node", "hub", F.coalesce(F.col("a"), F.lit(0.0)).alias("auth")
+        )
+        atot = astate.agg(F.sum("auth")).first()[0] or 1.0
+        astate = astate.select(
+            "node", "hub", (F.col("auth") / F.lit(atot)).alias("auth")
+        ).localCheckpoint()
+        hub_raw = (
+            astate.join(e, astate["node"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h"))
+        )
+        state = astate.join(hub_raw, astate["node"] == hub_raw["src"], "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"), "auth"
+        )
+        htot = state.agg(F.sum("hub")).first()[0] or 1.0
+        state = state.select(
+            "node", (F.col("hub") / F.lit(htot)).alias("hub"), "auth"
+        ).localCheckpoint()
+    return state

@@ -2168,3 +2168,29 @@ def test_temperature_mixing_rates_and_sample(spark):
     k1 = sorted(r["doc_id"] for r in kept.collect())
     k2 = sorted(r["doc_id"] for r in MX.temperature_sample(df, alpha=0.0).collect())
     assert k1 == k2
+
+
+def test_hits_hubs_and_authorities(spark):
+    """Kleinberg HITS (L1-normalized): a directory linking to all
+    authorities out-hubs a partial directory; a page cited by both
+    directories out-auths one cited by only one; both vectors sum to 1;
+    zero-degree sides stay 0."""
+    from spider_spark.operators import graphrank as GR
+
+    edges = spark.createDataFrame(
+        [("d1", "a1"), ("d1", "a2"), ("d1", "a3"),
+         ("d2", "a1"), ("d2", "a2"),
+         ("x", "y")],
+        "src string, dst string",
+    )
+    out = {r["node"]: (r["hub"], r["auth"]) for r in GR.hits(edges, n_iter=4).collect()}
+    hubs = {k: v[0] for k, v in out.items()}
+    auths = {k: v[1] for k, v in out.items()}
+    assert abs(sum(hubs.values()) - 1.0) < 1e-9
+    assert abs(sum(auths.values()) - 1.0) < 1e-9
+    assert hubs["d1"] > hubs["d2"] > hubs["x"] > 0
+    assert auths["a1"] == auths["a2"] > auths["a3"] > 0
+    # pure hubs have no authority, pure authorities no hub weight
+    assert auths["d1"] == 0 and auths["d2"] == 0
+    assert hubs["a1"] == 0 and hubs["a3"] == 0 and hubs["y"] == 0
+    assert auths["y"] > 0

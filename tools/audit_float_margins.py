@@ -119,9 +119,12 @@ def main() -> None:
         (SF.col("l_orderkey") % 300).alias("src"),
         (SF.col("l_partkey") % 300).alias("dst"),
     )
+    hits_df = GR.hits(edges, n_iter=4)
     for nm, ranks in (
         ("opic_ppm", GR.opic(edges, n_iter=6)),
         ("rank_ppm", GR.pagerank(edges, damping=0.85, n_iter=6)),
+        ("hub_ppm", hits_df.select(SF.col("hub").alias("rank"))),
+        ("auth_ppm", hits_df.select(SF.col("auth").alias("rank"))),
     ):
         vals = [r["rank"] for r in ranks.collect()]
         margins = [abs((v * 1e8) % 1.0 - 0.5) for v in vals]
