@@ -2194,3 +2194,51 @@ def test_hits_hubs_and_authorities(spark):
     assert auths["d1"] == 0 and auths["d2"] == 0
     assert hubs["a1"] == 0 and hubs["a3"] == 0 and hubs["y"] == 0
     assert auths["y"] > 0
+
+
+def test_warc_export_roundtrip(spark, tmp_path):
+    """WARC/1.1 response records: deterministic record IDs (re-export
+    is byte-identical), Content-Length in BYTES (multi-byte chars),
+    sha1 payload digest, shard write + reader-twin round trip."""
+    from spider_spark.storage.warc import (
+        parse_warc_records,
+        warc_response_records,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example/p1", "<html>héllo</html>"),
+            ("http://a.example/p2", "plain"),
+            ("http://b.example/x", "<p>b</p>"),
+        ],
+        "url string, payload string",
+    )
+    recs = warc_response_records(pages)
+    r1 = {r["url"]: r["record"] for r in recs.collect()}
+    r2 = {r["url"]: r["record"] for r in warc_response_records(pages).collect()}
+    assert r1 == r2  # deterministic re-export
+
+    path = str(tmp_path / "warc_out")
+    write_warc(recs, path, n_shards=2)
+    import glob
+
+    # newline='' keeps the CRLFs the WARC spec requires (text-mode
+    # default would fold them to \n)
+    blob = "".join(
+        open(f, newline="").read() for f in sorted(glob.glob(path + "/part-*"))
+    )
+    parsed = {p["headers"]["WARC-Target-URI"]: p for p in parse_warc_records(blob)}
+    assert set(parsed) == set(r1)
+    p1 = parsed["http://a.example/p1"]
+    assert p1["payload"] == "<html>héllo</html>"
+    # byte length, not char length (é is 2 bytes in utf-8)
+    assert int(p1["headers"]["Content-Length"]) == len(p1["payload"].encode())
+    assert p1["headers"]["WARC-Type"] == "response"
+    assert p1["headers"]["WARC-Record-ID"].startswith("urn:uuid:")
+    import hashlib
+
+    assert (
+        p1["headers"]["WARC-Payload-Digest"]
+        == "sha1:" + hashlib.sha1(p1["payload"].encode()).hexdigest()
+    )
