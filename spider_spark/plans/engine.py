@@ -666,6 +666,56 @@ class CrawlEngine:
             )
         return merged
 
+    def documents_delta(self, since_wave: int) -> DataFrame:
+        """Incremental export: the documents a downstream consumer must
+        re-ingest after wave ``since_wave`` — one row per doc_id whose
+        LATEST generation landed after it, tagged ``change_kind``:
+
+        * ``'new'`` — the doc_id had no generation at or before
+          ``since_wave``;
+        * ``'changed'`` — it had one, and the span content differs
+          (docs re-fetched with identical content are NOT shipped —
+          that is the point of a delta).
+
+        Content identity is sha1 of the JSON-serialized span array
+        (spans are offset-ordered, so serialization is deterministic).
+        One window over doc_id (the merge's own shuffle key) + one
+        self-join on doc_id; everything else is column arithmetic.
+        ``since_wave=-1`` ships the whole corpus as 'new' (bootstrap).
+        """
+        docs = self.documents().withColumn(
+            "_digest", F.sha1(F.to_json(F.col("spans")))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.desc("wave"), F.desc("position"))
+        latest = (
+            docs.withColumn("_gen", F.row_number().over(w))
+            .filter(F.col("_gen") == 1)
+            .drop("_gen")
+            .filter(F.col("wave") > since_wave)
+        )
+        prev = (
+            docs.filter(F.col("wave") <= since_wave)
+            .withColumn("_gen", F.row_number().over(w))
+            .filter(F.col("_gen") == 1)
+            .select(F.col("doc_id"), F.col("_digest").alias("_prev_digest"))
+        )
+        return (
+            latest.join(prev, "doc_id", "left")
+            .withColumn(
+                "change_kind",
+                F.when(F.col("_prev_digest").isNull(), F.lit("new")).otherwise(
+                    F.lit("changed")
+                ),
+            )
+            .filter(
+                F.col("_prev_digest").isNull()
+                | (F.col("_prev_digest") != F.col("_digest"))
+            )
+            .drop("_digest", "_prev_digest")
+        )
+
     def url_seen(self) -> DataFrame:
         return self.store.read_table("url_seen", "append", schema=schemas.URL_SEEN)
 

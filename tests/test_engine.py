@@ -1166,3 +1166,49 @@ def test_sitemap_entries_lastmod_and_robots_sitemap_discovery(spark):
         ("a.example", 0, "http://a.example/sitemap.xml"),
         ("a.example", 1, "http://a.example/s2.xml.gz"),
     }
+
+
+def test_documents_delta_incremental_export(spark, tmp_path):
+    """documents_delta: bootstrap (since=-1) ships everything as 'new';
+    after an incremental recrawl, the delta since the first crawl's
+    last wave contains EXACTLY the content-changed doc as 'changed' —
+    re-fetched-but-identical docs do not ship."""
+    from spider_spark.synth import gen_web
+
+    spec = WebSpec(seed=7, n_hosts=2, pages_per_host=1, details_per_page=3,
+                   retry_rate=0.0, split_item_rate=0.0)
+    store = SnapshotStore(spark, str(tmp_path / "delta"))
+    cfg = CrawlConfig(crawl_id="t", n_buckets=8, max_waves=30)
+    eng = CrawlEngine(spark, web_df(spark, spec), host_policy_df(spark, spec), store, cfg)
+    t1 = eng.run(seeds_df(spark, spec))
+    w1 = t1["waves"]
+
+    boot = eng.documents_delta(since_wave=-1)
+    assert boot.count() == eng.documents().count()
+    assert {r["change_kind"] for r in boot.select("change_kind").distinct().collect()} == {"new"}
+    # nothing changed yet: delta since the last wave is empty
+    assert eng.documents_delta(since_wave=w1).count() == 0
+
+    # mutate one page, recrawl everything due (full refetch, no cond-GET)
+    pages = gen_web(spec)
+    changed_url = next(
+        p["url"] for p in pages if not p["is_listing_page"] and p["spans"]
+    )
+    for p in pages:
+        if p["url"] == changed_url:
+            p["spans"] = [
+                {"kind": "text", "text": "edited for the delta test",
+                 "media_ref": None, "offset": 0}
+            ]
+    web2 = spark.createDataFrame(pages, schema=schemas.WEB_PAGES)
+    eng2 = CrawlEngine(spark, web2, host_policy_df(spark, spec), store, cfg)
+    cands = eng2.recrawl_candidates(now_s=1e9)
+    assert cands.count() > 1  # several due; only one actually changed
+    eng2.run(cands, resume=True, inject=True)
+
+    delta = eng2.documents_delta(since_wave=w1).collect()
+    assert len(delta) == 1
+    assert delta[0]["change_kind"] == "changed"
+    assert delta[0]["doc_id"] == changed_url.split("://", 1)[1]
+    assert delta[0]["spans"][0]["text"] == "edited for the delta test"
+    eng.close(); eng2.close()
