@@ -857,7 +857,23 @@ def q_position_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """position counter per source run (der_immo_tip.py:23,137,187);
     folded in (round 3, registry budget): image dedup +
     external_images_count (pipelines.py:127-131) — refs with repeats
-    (doc_id, i%4 for i<n) → distinct count, one more per-doc column."""
+    (doc_id, i%4 for i<n) → distinct count, one more per-doc column.
+
+    Folded in (round 4, registry budget): the anchor-text aggregation
+    pipeline (operators/anchortext — Brin & Page WWW'98 §2.2 inlink
+    descriptions). Deterministic pages carry 5 anchors each: an
+    absolute link with an UPPERCASE host (canonicalization must
+    lowercase it to pool with its lowercase twin), a host-relative link
+    (resolve_udf against the page URL), a shared-label absolute link
+    ("common"), a fragment-only self link (dropped by drop_self after
+    canonicalization strips the fragment), and an empty image anchor
+    (dropped by drop_empty). extract_anchors → anchor_edges →
+    anchor_profiles(k=3, salted top-k), profiles pivoted to per-target
+    top-3 (anchor, count) columns and joined back per doc via its
+    primary target — the oracle rebuilds the surviving edge set from
+    the generation formula and ranks with a plain window."""
+    from spider_spark.operators import anchortext as AT
+
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     n = (F.col("doc_id") % 7 + 1).cast("int")
@@ -865,12 +881,47 @@ def q_position_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.concat(F.lit("img/"), (i % 4).cast("string")),
     )
-    return docs.select(
+    did = F.col("doc_id").cast("string")
+    t50 = (F.col("doc_id") % 50).cast("string")
+    t20 = (F.col("doc_id") % 20).cast("string")
+    lab7 = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://T.example/t/'), t50,
+        F.lit('">site '), lab7, F.lit("</a>"),
+        F.lit('<a href="/t/'), t20, F.lit('">rel</a>'),
+        F.lit('<a href="http://t.example/t/'), t50, F.lit('">common</a>'),
+        F.lit('<a href="#frag">self</a>'),
+        F.lit('<a href="/i/x.jpg"></a>'),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://s"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".example/p/"), did).alias("url"),
+        html.alias("html"),
+    )
+    prof = AT.anchor_profiles(AT.anchor_edges(AT.extract_anchors(pages)), k=3)
+    piv = prof.groupBy("dst").agg(
+        *[
+            f
+            for r in (1, 2, 3)
+            for f in (
+                F.max(F.when(F.col("rank") == r, F.col("anchor"))).alias(
+                    f"anchor_top{r}"
+                ),
+                F.max(F.when(F.col("rank") == r, F.col("n_links")))
+                .cast("long")
+                .alias(f"anchor_top{r}_n"),
+            )
+        ]
+    )
+    base = docs.select(
         "doc_id",
         "source",
         F.row_number().over(w).alias("position"),
         F.size(F.array_distinct(refs)).alias("external_images_count"),
+        F.concat(F.lit("http://t.example/t/"), t50).alias("dst"),
     )
+    return base.join(piv, "dst").drop("dst")
 
 
 def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,7 +930,16 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeral ((n%4+1)*0.25 — all exactly representable doubles, so the
     hash-gate comparison is bit-identical in DuckDB), kept docs packed
     into 2000-token shards in doc_id order via the distributed
-    exclusive prefix sum (bucket windows + broadcast offsets)."""
+    exclusive prefix sum (bucket windows + broadcast offsets).
+
+    Folded in (round 4, registry budget): temperature-scaled mixture
+    weights (mixing.temperature_rates — the mBERT/XLM-R p^alpha
+    sampling rule, alpha=0.5) computed over the FULL corpus and applied
+    as an independent salted gate; per kept doc the columns
+    temp_rate_e6 (its source's temperature keep-rate, e6-quantized via
+    the floor(x*1e6+0.5) hash-stability convention) and temp_kept (the
+    'temp:'-salted hash gate AGAINST THE QUANTIZED rate, so the
+    cross-engine comparison is over bit-identical doubles)."""
     docs = _t(spark, sf_dir, "documents")
     rates = docs.select("source").distinct().select(
         "source",
@@ -892,7 +952,23 @@ def q_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
     )
     kept = MX.deterministic_sample(staged, rates, stratum_col="source", key_col="doc_id")
-    return MX.pack_shards(kept, "n_tokens", budget=2000, order_col="doc_id", n_buckets=16)
+    packed = MX.pack_shards(
+        kept, "n_tokens", budget=2000, order_col="doc_id", n_buckets=16
+    )
+    trates = MX.temperature_rates(
+        docs.select("doc_id", "source"), alpha=0.5, stratum_col="source"
+    ).select("source", (F.floor(F.col("rate") * 1e6 + 0.5) / F.lit(1e6)).alias("rate"))
+    tfrac = MX.hash_fraction(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    temp = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(trates), "source")
+        .select(
+            "doc_id",
+            F.floor(F.col("rate") * 1e6 + 0.5).cast("long").alias("temp_rate_e6"),
+            (tfrac < F.col("rate")).alias("temp_kept"),
+        )
+    )
+    return packed.join(temp, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1004,12 +1080,43 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     staged = docs.select("doc_id", pii_text.alias("t"))
-    return staged.select(
+    scrubbed = staged.select(
         "doc_id",
         TX.pii_email_count(F.col("t")).alias("n_emails"),
         TX.pii_phone_count(F.col("t")).alias("n_phones"),
         TX.pii_ipv4_count(F.col("t")).alias("n_ips"),
         TX.redact_pii(F.col("t")).alias("redacted"),
+    )
+    # Folded in (round 4, registry budget): WARC/1.1 archival export
+    # (storage/warc.warc_response_records — ISO 28500 response records)
+    # over the SCRUBBED payload: deterministic urn:uuid record ids
+    # derived from the URL, data-derived WARC-Date, byte-exact
+    # Content-Length (octet_length), md5-labelled payload digest (the
+    # spec allows any labelled algorithm; DuckDB 1.0 has no sha1, and
+    # the engine default stays sha1). The oracle rebuilds the record
+    # string byte-for-byte, so the full header layout + CRLF framing is
+    # driver-checked; shard writing/round-trip parse is pytest-pinned.
+    from spider_spark.storage.warc import warc_response_records
+
+    pages = scrubbed.select(
+        "doc_id",
+        F.concat(F.lit("http://docs.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("redacted").alias("payload"),
+        F.concat(
+            F.lit("2026-01-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+            F.lit("T00:00:00Z"),
+        ).alias("wdate"),
+    )
+    recs = warc_response_records(pages, date_col="wdate", digest="md5").select(
+        "url", F.col("record").alias("warc_record"),
+        F.octet_length("record").alias("warc_bytes"),
+    )
+    return (
+        scrubbed.join(
+            pages.select("doc_id", "url").join(recs, "url"), "doc_id"
+        )
+        .drop("url")
     )
 
 
@@ -1028,7 +1135,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the same unrolled-CTE recursion. Round 4 (fourth pass) also
     folds in HITS hubs/authorities (graphrank.hits — Kleinberg JACM'99,
     L1-normalized synchronous half-rounds) as hub_ppm/auth_ppm, 4
-    rounds, same unrolled-CTE oracle trick."""
+    rounds, same unrolled-CTE oracle trick. Round 4 (fifth pass) folds
+    in TrustRank (graphrank.trustrank — Gyöngyi et al. VLDB'04,
+    seed-restricted teleport with dangling mass returned to the seeds)
+    as trust_ppm: seeds are the fixed dim node%10==0 (30 of 300), 6
+    rounds, same unrolled-CTE oracle."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         (F.col("l_orderkey") % 300).alias("src"),
@@ -1039,15 +1150,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("rank").alias("opic")
     )
     hits_ranks = GR.hits(edges, n_iter=4)
+    trust_seeds = spark.range(0, 300, 10).select(F.col("id").alias("node"))
+    trust_ranks = GR.trustrank(
+        edges, trust_seeds, damping=0.85, n_iter=6
+    ).select("node", F.col("rank").alias("trust"))
     return (
         ranks.join(opic_ranks, "node")
         .join(hits_ranks, "node")
+        .join(trust_ranks, "node")
         .select(
             "node",
             F.round(F.col("rank") * 1000000, 2).alias("rank_ppm"),
             F.round(F.col("opic") * 1000000, 2).alias("opic_ppm"),
             F.round(F.col("hub") * 1000000, 2).alias("hub_ppm"),
             F.round(F.col("auth") * 1000000, 2).alias("auth_ppm"),
+            F.round(F.col("trust") * 1000000, 2).alias("trust_ppm"),
         )
     )
 
@@ -1900,6 +2017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
+#: CRLF as a DuckDB expression (WARC framing; \r\n escapes don't
+#: survive the f-string + SQL-literal round trip cleanly)
+_CRLF_SQL = "chr(13) || chr(10)"
+
 _STOPWORDS_SQL = {
     "en": "['the','and','of','to','in','is','with','for','on','this','that','are']",
     "de": "['der','die','das','und','mit','für','von','ist','im','ein','eine','zu']",
@@ -2164,6 +2285,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM {cur}hr)"""
 
     hits_iters = ",".join(hits_round(f"h{i}", f"h{i + 1}") for i in range(4))
+
+    # trustrank (graphrank.trustrank): same unrolled trick as pagerank,
+    # but teleport AND dangling mass are weighted by the static trust
+    # vector (1/30 on the node%10==0 seeds, else 0). (1.0 - 0.85) is
+    # written as the runtime subtraction so both engines evaluate the
+    # identical IEEE op the Spark literal embeds.
+    def tr_round(prev: str, cur: str) -> str:
+        return f"""
+            {cur} AS MATERIALIZED (
+                SELECT nodes.node,
+                       (1.0 - 0.85) * tv.t
+                       + 0.85 * (coalesce(i.inflow, 0)
+                                 + (SELECT coalesce(sum(r.rank), 0)
+                                    FROM {prev} r LEFT JOIN deg
+                                      ON deg.src = r.node
+                                    WHERE deg.src IS NULL) * tv.t) AS rank
+                FROM nodes JOIN tv ON tv.node = nodes.node
+                LEFT JOIN (
+                    SELECT ce.dst, sum(r.rank * ce.w) AS inflow
+                    FROM {prev} r JOIN ce ON ce.src = r.node
+                    GROUP BY ce.dst) i ON i.dst = nodes.node)"""
+
+    tr_iters = ",".join(tr_round(f"t{i}", f"t{i + 1}") for i in range(6))
 
     return {
         "url_canonicalize": f"""
@@ -2549,13 +2693,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "position_counter": """
+            WITH e AS (
+                SELECT 'http://t.example/t/' || (doc_id % 50) AS dst,
+                       'site ' || (doc_id % 7) AS anchor FROM documents
+                UNION ALL
+                SELECT 'http://t.example/t/' || (doc_id % 50), 'common'
+                FROM documents
+                UNION ALL
+                SELECT 'http://s' || (doc_id % 4) || '.example/t/'
+                           || (doc_id % 20), 'rel'
+                FROM documents),
+            c AS (SELECT dst, anchor, count(*) AS n_links
+                  FROM e GROUP BY dst, anchor),
+            r AS (SELECT *, row_number() OVER (
+                          PARTITION BY dst
+                          ORDER BY n_links DESC, anchor ASC) AS rk
+                  FROM c),
+            p AS (SELECT dst,
+                         max(CASE WHEN rk = 1 THEN anchor END) AS anchor_top1,
+                         max(CASE WHEN rk = 1 THEN n_links END) AS anchor_top1_n,
+                         max(CASE WHEN rk = 2 THEN anchor END) AS anchor_top2,
+                         max(CASE WHEN rk = 2 THEN n_links END) AS anchor_top2_n,
+                         max(CASE WHEN rk = 3 THEN anchor END) AS anchor_top3,
+                         max(CASE WHEN rk = 3 THEN n_links END) AS anchor_top3_n
+                  FROM r WHERE rk <= 3 GROUP BY dst)
             SELECT doc_id, source,
                    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
                         AS INT) AS position,
                    CAST(len(list_distinct(list_transform(
                         range(0, CAST(doc_id % 7 + 1 AS INT)),
-                        i -> 'img/' || (i % 4)))) AS INT) AS external_images_count
-            FROM documents
+                        i -> 'img/' || (i % 4)))) AS INT) AS external_images_count,
+                   anchor_top1, CAST(anchor_top1_n AS BIGINT) AS anchor_top1_n,
+                   anchor_top2, CAST(anchor_top2_n AS BIGINT) AS anchor_top2_n,
+                   anchor_top3, CAST(anchor_top3_n AS BIGINT) AS anchor_top3_n
+            FROM documents d
+            JOIN p ON p.dst = 'http://t.example/t/' || (d.doc_id % 50)
         """,
         "data_mix": f"""
             WITH t AS (
@@ -2573,11 +2745,29 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT *, sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
                            AS cum_before
-                FROM k)
-            SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+                FROM k),
+            sc AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY source),
+            st AS (SELECT sum(n) AS tot FROM sc),
+            sw AS (SELECT source, n / (SELECT tot FROM st) AS p,
+                          pow(n / (SELECT tot FROM st), 0.5) AS wgt
+                   FROM sc),
+            swt AS (SELECT sum(wgt) AS wsum FROM sw),
+            sq AS (SELECT source, p, wgt / (SELECT wsum FROM swt) AS q FROM sw),
+            srm AS (SELECT max(q / p) AS rmax FROM sq),
+            sr AS (SELECT source,
+                          floor((q / p) / (SELECT rmax FROM srm) * 1000000
+                                + 0.5) / 1000000.0 AS trate
+                   FROM sq),
+            tg AS (SELECT d.doc_id, sr.trate,
+                          md5('temp:' || CAST(d.doc_id AS VARCHAR)) AS hh
+                   FROM documents d JOIN sr USING (source))
+            SELECT c.doc_id, c.source, CAST(c.n_tokens AS INT) AS n_tokens,
                    CAST(cum_before AS BIGINT) AS cum_before,
-                   CAST(floor(cum_before / 2000) AS BIGINT) AS shard_id
-            FROM c
+                   CAST(floor(cum_before / 2000) AS BIGINT) AS shard_id,
+                   CAST(floor(trate * 1000000 + 0.5) AS BIGINT) AS temp_rate_e6,
+                   ({md5_u32}) / 4294967296.0 < trate AS temp_kept
+            FROM c JOIN tg ON tg.doc_id = c.doc_id
         """,
         "text_metrics": f"""
             WITH ln AS (
@@ -2762,8 +2952,8 @@ def oracle_sql() -> dict[str, str]:
                          CAST(doc_id % 256 AS VARCHAR) || '.' ||
                          CAST(doc_id % 100 AS VARCHAR)
                          ELSE '' END) AS t
-                FROM documents)
-            SELECT doc_id,
+                FROM documents),
+            rr AS (SELECT doc_id,
                    CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS INT)
                        AS n_emails,
                    CAST(len(regexp_extract_all(t, '{_PII_PHONE_SQL}')) AS INT)
@@ -2774,7 +2964,36 @@ def oracle_sql() -> dict[str, str]:
                         '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
                         '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
                         '{_PII_IPV4_SQL}', '<IP>', 'g') AS redacted
-            FROM t
+            FROM t),
+            wh AS (SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+                          md5('warc:http://docs.example/'
+                              || CAST(doc_id AS VARCHAR)) AS hh,
+                          md5(redacted) AS pd,
+                          octet_length(encode(redacted)) AS nb,
+                          'http://docs.example/' || doc_id AS url,
+                          '2026-01-0' || ((doc_id % 9) + 1) || 'T00:00:00Z'
+                              AS wdate
+                   FROM rr),
+            wr AS (SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+                          'WARC/1.1' || {_CRLF_SQL} ||
+                          'WARC-Type: response' || {_CRLF_SQL} ||
+                          'WARC-Record-ID: urn:uuid:' ||
+                              substring(hh, 1, 8) || '-' ||
+                              substring(hh, 9, 4) || '-4' ||
+                              substring(hh, 14, 3) || '-8' ||
+                              substring(hh, 18, 3) || '-' ||
+                              substring(hh, 21, 12) || {_CRLF_SQL} ||
+                          'WARC-Target-URI: ' || url || {_CRLF_SQL} ||
+                          'WARC-Date: ' || wdate || {_CRLF_SQL} ||
+                          'WARC-Payload-Digest: md5:' || pd || {_CRLF_SQL} ||
+                          'Content-Type: text/html' || {_CRLF_SQL} ||
+                          'Content-Length: ' || nb || {_CRLF_SQL} ||
+                          {_CRLF_SQL} || redacted || {_CRLF_SQL} || {_CRLF_SQL}
+                              AS warc_record
+                   FROM wh)
+            SELECT doc_id, n_emails, n_phones, n_ips, redacted, warc_record,
+                   CAST(octet_length(encode(warc_record)) AS INT) AS warc_bytes
+            FROM wr
         """,
         "pagerank": f"""
             WITH e AS (
@@ -2794,13 +3013,21 @@ def oracle_sql() -> dict[str, str]:
             {opic_iters},
             h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub,
                           1.0 / (SELECT n FROM nn) AS auth FROM nodes),
-            {hits_iters}
+            {hits_iters},
+            tv AS (SELECT node,
+                          CASE WHEN node % 10 = 0 THEN 1.0 / 30.0
+                               ELSE 0.0 END AS t
+                   FROM nodes),
+            t0 AS (SELECT node, t AS rank FROM tv),
+            {tr_iters}
             SELECT r6.node, round(r6.rank * 1000000, 2) AS rank_ppm,
                    round((o6.hist + o6.cash) / 7.0 * 1000000, 2) AS opic_ppm,
                    round(h4.hub * 1000000, 2) AS hub_ppm,
-                   round(h4.auth * 1000000, 2) AS auth_ppm
+                   round(h4.auth * 1000000, 2) AS auth_ppm,
+                   round(t6.rank * 1000000, 2) AS trust_ppm
             FROM r6 JOIN o6 ON o6.node = r6.node
             JOIN h4 ON h4.node = r6.node
+            JOIN t6 ON t6.node = r6.node
         """,
         "revisit": """
             WITH h AS (

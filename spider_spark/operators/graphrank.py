@@ -304,3 +304,91 @@ def hits(
             "node", (F.col("hub") / F.lit(htot)).alias("hub"), "auth"
         ).localCheckpoint()
     return state
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, "Combating web
+    spam with TrustRank", VLDB'04 — public algorithm): PageRank with
+    the teleport restricted to a TRUSTED seed set, so authority flows
+    outward from vetted pages and link farms — which PageRank rewards
+    because they interlink densely — receive only what trusted regions
+    actually link to. The crawl-side use: frontier prioritization that
+    a spam network cannot inflate (pair with :func:`rank_priorities`).
+
+    ``seeds`` is a one-column (node) DataFrame — the paper's manually
+    reviewed high-trust sites. The static trust vector is uniform over
+    the seeds (the paper's normalized oracle-score vector with binary
+    scores), and dangling mass teleports back to the SEEDS (not all
+    nodes): the random surfer restarts only at trusted pages, the
+    invariant that distinguishes this from plain personalized-restart
+    variants. Seeds absent from the graph contribute nothing (their
+    trust share is deliberately NOT renormalized away — the paper
+    normalizes over the chosen seed set).
+
+    Scale shape per iteration — identical to :func:`pagerank`: one
+    ranks ⋈ edges equi-join, one map-side-combinable groupBy(dst) sum,
+    one O(1) dangling-mass collect; the trust vector rides the node dim
+    as a column (seeds is broadcast-joined once, before the loop);
+    lineage truncated per round with localCheckpoint. Deterministic:
+    fixed iteration count, no RNG.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    seed_dim = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = seed_dim.count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: empty seed set")
+    # static trust vector as a node-dim column: 1/|S| on seeds, else 0
+    trusted = nodes.join(
+        F.broadcast(seed_dim.select("node", F.lit(1.0).alias("_s"))), "node", "left"
+    ).select(
+        "node",
+        (F.coalesce(F.col("_s"), F.lit(0.0)) / F.lit(float(n_seeds))).alias("t"),
+    ).localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    contrib_edges = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    ranks = trusted.select("node", F.col("t").alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        inflow = (
+            ranks.join(contrib_edges, ranks["node"] == contrib_edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            trusted.join(inflow, trusted["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dangling) * F.col("t")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

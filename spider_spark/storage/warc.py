@@ -44,16 +44,23 @@ def warc_response_records(
     payload_col: str = "payload",
     date_col: str | None = None,
     warcinfo_id: str | None = None,
+    digest: str = "sha1",
 ) -> DataFrame:
     """(…, url, payload[, date]) -> (url, record) where ``record`` is a
     complete WARC/1.1 response record string. ``date_col`` must hold a
     W3C/ISO instant string (derive it from crawl data — NEVER now());
     when None a fixed epoch stamp keeps the export reproducible.
     Content-Length counts payload BYTES (utf-8), not characters, per
-    spec."""
+    spec. ``digest`` picks the WARC-Payload-Digest algorithm: the spec
+    (ISO 28500 §5.8) allows any labelled algorithm; ``sha1`` is the
+    ecosystem default, ``md5`` keeps the record reproducible by engines
+    without a sha1 builtin (the DuckDB oracle twin)."""
     payload = F.col(payload_col)
     nbytes = F.octet_length(payload)
     date = F.col(date_col) if date_col else F.lit("1970-01-01T00:00:00Z")
+    if digest not in ("sha1", "md5"):
+        raise ValueError(f"warc_response_records: unsupported digest {digest!r}")
+    digest_col = F.sha1(payload) if digest == "sha1" else F.md5(payload)
     header = F.concat(
         F.lit("WARC/1.1" + CRLF),
         F.lit("WARC-Type: response" + CRLF),
@@ -67,7 +74,7 @@ def warc_response_records(
             if warcinfo_id
             else []
         ),
-        F.lit("WARC-Payload-Digest: sha1:"), F.sha1(payload), F.lit(CRLF),
+        F.lit(f"WARC-Payload-Digest: {digest}:"), digest_col, F.lit(CRLF),
         F.lit("Content-Type: text/html" + CRLF),
         F.lit("Content-Length: "), nbytes.cast("string"), F.lit(CRLF),
     )

@@ -2136,10 +2136,11 @@ def test_temperature_mixing_rates_and_sample(spark):
     sampling): alpha=1 keeps natural proportions (all rates exactly
     1.0), alpha=0 targets uniform-over-strata with the smallest stratum
     binding at rate 1.0; the composed sampler is deterministic.
-    (Pytest-pinned, not oracle-folded: the rate computation crosses
-    pow/sum whose last-ulp behavior is engine-specific — the
-    oracle-checked gate stays deterministic_sample with exact-dyadic
-    rates in data_mix.)"""
+    (Also oracle-folded into data_mix since round 4's fifth pass: the
+    pow/sum-derived rate is floor-quantized to e6 units on BOTH sides
+    and the hash gate compares against the QUANTIZED rate, so the
+    cross-engine surface reduces to the floor boundary — margins pinned
+    by tools/audit_float_margins.py.)"""
     from spider_spark.operators import mixing as MX
 
     rows = (
@@ -2194,6 +2195,41 @@ def test_hits_hubs_and_authorities(spark):
     assert auths["d1"] == 0 and auths["d2"] == 0
     assert hubs["a1"] == 0 and hubs["a3"] == 0 and hubs["y"] == 0
     assert auths["y"] > 0
+
+
+def test_trustrank_seed_restricted_teleport(spark):
+    """TrustRank (Gyöngyi VLDB'04): trust flows only outward from the
+    seed set. A densely interlinked spam farm unreachable from the
+    seeds gets EXACTLY zero (non-seeds start at 0 and teleport never
+    visits them), while plain PageRank rewards it; dangling mass
+    returns to the seeds, not all nodes."""
+    from spider_spark.operators import graphrank as GR
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "g"), ("g", "g2"),          # trusted region; g2 dangles
+            ("sp1", "sp2"), ("sp2", "sp3"),   # spam farm, fully
+            ("sp3", "sp1"), ("sp2", "sp1"),   # interlinked, unreachable
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    trust = {r["node"]: r["rank"]
+             for r in GR.trustrank(edges, seeds, n_iter=8).collect()}
+    pr = {r["node"]: r["rank"]
+          for r in GR.pagerank(edges, n_iter=8).collect()}
+    assert trust["sp1"] == 0.0 and trust["sp2"] == 0.0 and trust["sp3"] == 0.0
+    assert pr["sp1"] > 0 and pr["sp2"] > 0  # PageRank rewards the farm
+    # the trusted chain s -> g -> g2 holds ALL the mass (g2's dangling
+    # mass returns to the seed, closing the cycle — each node's share
+    # depends on its cycle position, so assert membership, not order)
+    assert trust["s"] > 0 and trust["g"] > 0 and trust["g2"] > 0
+    # dangling g2 returns mass to the seed: total stays, farm never gains
+    assert abs(sum(trust.values()) - 1.0) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        GR.trustrank(edges, seeds.filter("node = 'nope_absent'"))
 
 
 def test_warc_export_roundtrip(spark, tmp_path):

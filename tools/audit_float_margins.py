@@ -120,11 +120,13 @@ def main() -> None:
         (SF.col("l_partkey") % 300).alias("dst"),
     )
     hits_df = GR.hits(edges, n_iter=4)
+    trust_seeds = spark.range(0, 300, 10).select(SF.col("id").alias("node"))
     for nm, ranks in (
         ("opic_ppm", GR.opic(edges, n_iter=6)),
         ("rank_ppm", GR.pagerank(edges, damping=0.85, n_iter=6)),
         ("hub_ppm", hits_df.select(SF.col("hub").alias("rank"))),
         ("auth_ppm", hits_df.select(SF.col("auth").alias("rank"))),
+        ("trust_ppm", GR.trustrank(edges, trust_seeds, damping=0.85, n_iter=6)),
     ):
         vals = [r["rank"] for r in ranks.collect()]
         margins = [abs((v * 1e8) % 1.0 - 0.5) for v in vals]
@@ -136,13 +138,54 @@ def main() -> None:
         if m < MARGIN_THRESHOLD:
             failures.append(f"pagerank.{nm} margin {m:.3e}")
 
+    # temp_rate_e6 (data_mix fold) is floor(rate*1e6 + 0.5) of the
+    # pow/sum-derived temperature rate — and temp_kept compares the
+    # (exact) md5 hash fraction against the QUANTIZED rate, so the only
+    # cross-engine surface is this floor boundary plus the gate margin.
+    from spider_spark.operators import mixing as MX
+
+    trates = MX.temperature_rates(
+        docs.select("doc_id", "source"), alpha=0.5, stratum_col="source"
+    ).collect()
+    margins = [boundary_margin(r["rate"], 1e6) for r in trates]
+    m = min(margins) if margins else math.inf
+    print(
+        f"data_mix.temp_rate_e6: min margin {m:.3e} over {len(margins)} "
+        f"strata {'OK' if m >= MARGIN_THRESHOLD else 'TOO CLOSE'}"
+    )
+    if m < MARGIN_THRESHOLD:
+        failures.append(f"data_mix.temp_rate_e6 margin {m:.3e}")
+    qrate = {
+        r["source"]: math.floor(r["rate"] * 1e6 + 0.5) / 1e6 for r in trates
+    }
+    fracs = docs.select(
+        "source",
+        MX.hash_fraction(
+            SF.concat(SF.lit("temp:"), SF.col("doc_id").cast("string"))
+        ).alias("frac"),
+    ).collect()
+    gate = min(abs(r["frac"] - qrate[r["source"]]) for r in fracs)
+    # the hash fraction is exact in both engines; the gate can only
+    # flip if a rate's e6 unit changes, which moves it by 1e-6 — so
+    # demand the nearest fraction sit further than that from the rate.
+    print(
+        f"data_mix.temp_kept: min gate margin {gate:.3e} over {len(fracs)} "
+        f"docs {'OK' if gate >= 1e-6 else 'TOO CLOSE'}"
+    )
+    if gate < 1e-6:
+        failures.append(f"data_mix.temp_kept gate margin {gate:.3e}")
+
     # -- Part B: shuffle-order determinism of float-emitting queries --
     print("== Part B: determinism under different shuffle partitioning ==")
     qs = E.queries()
+    # queries whose output has no double column but whose values derive
+    # from float comparisons internally (data_mix: the temp_kept gate
+    # compares a hash fraction against a sum/pow-derived rate)
+    force_part_b = {"data_mix"}
     for name, fn in qs.items():
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         df1 = fn(spark, sf_dir)
-        if not any(
+        if name not in force_part_b and not any(
             isinstance(f.dataType, (T.DoubleType, T.FloatType))
             for f in df1.schema.fields
         ):
