@@ -198,9 +198,17 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_no_q, loop_pad, depth_pad, F.lit("/"), long_pad,
         F.lit("?a=1&b=2"), extra_params,
     )
+    # Round 4 fifth pass folds in the CDX SURT key (storage/cdx.surt_key
+    # — IA sort-friendly URL transform) over the MESSY url: uppercase
+    # host lowered, :80 port riding the reversed labels, fragment
+    # dropped, query params sorted; the oracle rebuilds the key
+    # analytically from the frontier generation formula.
+    from spider_spark.storage.cdx import surt_key as _surt
+
     return fr.select(
         F.col("seq"),
         canonicalize_udf(F.col("url")).alias("canonical_url"),
+        _surt(F.col("url")).alias("surt"),
         U.path_depth_col(trap_url).alias("path_depth"),
         U.max_segment_repeat_col(trap_url).alias("max_seg_repeat"),
         U.query_param_count_col(trap_url).alias("n_params"),
@@ -2314,6 +2322,8 @@ def oracle_sql() -> dict[str, str]:
             WITH fr AS ({_FRONTIER_SQL}),
             tu AS (
                 SELECT seq, canonical_url,
+                       'example:80,h' || host_id || ')/p/' || (seq % 3000)
+                           || '?a=1&b=2' AS surt,
                        'http://h' || host_id || '.example/p/' || (seq % 3000)
                        || repeat('/loop', CAST(seq % 5 AS INT))
                        || substr('/a/b/c/d/e/f/g/h/i/j/k/l/m/n/o/p/q/r/s/t',
@@ -2325,7 +2335,7 @@ def oracle_sql() -> dict[str, str]:
                                  1, CAST((seq % 15) * 6 AS INT)) AS trap_url
                 FROM fr),
             parsed AS (
-                SELECT seq, canonical_url, trap_url,
+                SELECT seq, canonical_url, surt, trap_url,
                        list_filter(string_split(
                            CASE WHEN regexp_extract(trap_url,
                                     '^[a-z0-9+.-]+://[^/]*(/[^?#]*)', 1) = ''
@@ -2335,7 +2345,7 @@ def oracle_sql() -> dict[str, str]:
                            END, '/'), s -> s != '') AS segs,
                        regexp_extract(trap_url, '\\?([^#]*)', 1) AS q
                 FROM tu)
-            SELECT seq, canonical_url,
+            SELECT seq, canonical_url, surt,
                    CAST(len(segs) AS INT) AS path_depth,
                    CAST(coalesce(list_max(list_transform(list_distinct(segs),
                         d -> len(list_filter(segs, s -> s = d)))), 0) AS INT)

@@ -2278,3 +2278,57 @@ def test_warc_export_roundtrip(spark, tmp_path):
         p1["headers"]["WARC-Payload-Digest"]
         == "sha1:" + hashlib.sha1(p1["payload"].encode()).hexdigest()
     )
+
+
+def test_surt_key_canonical_forms(spark):
+    """SURT transform (IA spec subset): scheme/fragment dropped,
+    lowercase, leading www. stripped, host labels reversed with
+    commas, query params sorted; empty path becomes '/'."""
+    from spider_spark.storage.cdx import surt_key
+
+    cases = {
+        "http://www.Example.com/Path?b=2&a=1#f": "com,example)/path?a=1&b=2",
+        "https://sub.host.co.uk/a/b": "uk,co,host,sub)/a/b",
+        "http://example.com": "com,example)/",
+        "http://example.com/?x=1": "com,example)/?x=1",
+        "http://wwwx.example.com/p": "com,example,wwwx)/p",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["surt"] for r in
+           df.select("url", surt_key(F.col("url")).alias("surt")).collect()}
+    assert got == cases
+
+
+def test_cdx_index_matches_written_shards(spark, tmp_path):
+    """The CDX index replays write_warc's placement exactly: for every
+    indexed record, seeking to (filename, offset) in the actual shard
+    files yields that record's bytes. Pins the pmod(hash(url), n) ==
+    repartition(n, url) equivalence and the per-shard prefix-sum
+    offsets (including the text sink's +1 newline per line)."""
+    import glob
+
+    from spider_spark.storage.cdx import cdx_index
+    from spider_spark.storage.warc import warc_response_records, write_warc
+
+    pages = spark.createDataFrame(
+        [(f"http://h{i % 5}.example/p/{i}", f"<p>doc {i} é</p>") for i in range(40)],
+        "url string, payload string",
+    )
+    recs = warc_response_records(pages)
+    path = str(tmp_path / "shards")
+    write_warc(recs, path, n_shards=4)
+    idx = cdx_index(recs, n_shards=4).collect()
+    assert len(idx) == 40
+    by_shard = {}
+    for f in glob.glob(path + "/part-*"):
+        num = int(f.rsplit("/", 1)[1].split("-")[1])
+        by_shard[num] = open(f, "rb").read()
+    expected = {r["url"]: r["record"] for r in recs.collect()}
+    for row in idx:
+        blob = by_shard[row["shard"]]
+        assert row["filename"] == f"part-{row['shard']:05d}"
+        got = blob[row["offset"]: row["offset"] + row["length"]]
+        assert got == expected[row["url"]].encode() + b"\n"
+    # surt ordering: keys sort host-major (the archive seek pattern)
+    surts = sorted(r["surt"] for r in idx)
+    assert surts[0].startswith("example,h0)") and surts[-1].startswith("example,h4)")
