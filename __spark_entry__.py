@@ -1486,10 +1486,49 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode -> typed metadata. The decode core is the
     documented deterministic stand-in (sha256-derived dimensions) —
     the oracle recomputes the same bytes in SQL, so the whole Arrow
-    path (schema, batching, repartition) is value-checked."""
-    from spider_spark.operators.media import decode_media, sample_frames
+    path (schema, batching, repartition) is value-checked.
 
-    decoded = decode_media(_media_table(spark, sf_dir))
+    Folded in (round 4, fifth pass): magic-byte content sniffing
+    (media.sniff_media_type — WHATWG/file(1) signatures as pure JVM
+    hex-prefix matching): each doc gets a binary blob with a real
+    format signature chosen by doc_id%8 (JPEG/PNG/GIF/WebP-RIFF/
+    ID3-MP3/ftyp-MP4/PDF/none), and sniffed_type must equal the type
+    the generation formula implies — the oracle derives the expected
+    label analytically, so a signature-table regression breaks the
+    column. RIFF discrimination (WebP vs WAV) and the fallbacks are
+    additionally pytest-pinned."""
+    from spider_spark.operators.media import (
+        decode_media,
+        sample_frames,
+        sniff_media_type,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig_hex = F.element_at(
+        F.array(
+            F.lit("FFD8FF"),
+            F.lit("89504E470D0A1A0A"),
+            F.lit("474946383961"),
+            F.lit("52494646AABBCCDD57454250"),
+            F.lit("494433"),
+            F.lit("0000001866747970"),
+            F.lit("25504446"),
+            F.lit(""),
+        ),
+        (F.col("doc_id") % 8).cast("int") + 1,
+    )
+    sniffed = docs.select(
+        F.concat(F.lit("media/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        sniff_media_type(
+            F.concat(
+                F.unhex(sig_hex),
+                F.encode(F.concat(F.lit("blob-"), F.col("doc_id").cast("string")),
+                         "utf-8"),
+            )
+        ).alias("sniffed_type"),
+    )
+
+    decoded = decode_media(_media_table(spark, sf_dir)).join(sniffed, "media_ref")
     # folded: media_frames (sample_frames, every 24th frame of each
     # video) rides along as per-ref aggregate columns so both operators
     # fit one driver-checked registry slot; images get 0/NULL.
@@ -1498,7 +1537,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("last_frame_idx"),
     )
     return decoded.join(frames, "media_ref", "left").select(
-        "media_ref", "media_type", "width", "height", "n_frames", "ok",
+        "media_ref", "media_type", "sniffed_type", "width", "height", "n_frames",
+        "ok",
         F.coalesce(F.col("n_sampled_frames"), F.lit(0)).cast("long").alias("n_sampled_frames"),
         F.col("last_frame_idx").cast("int").alias("last_frame_idx"),
     )
@@ -3396,12 +3436,26 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
                 SELECT media_ref, count(*) AS n_sampled_frames,
                        max(frame_idx) AS last_frame_idx
-                FROM fr GROUP BY media_ref)
-            SELECT d.media_ref, d.media_type, d.width, d.height,
-                   d.n_frames, d.ok,
+                FROM fr GROUP BY media_ref),
+            sn AS (
+                SELECT 'media/' || doc_id AS media_ref,
+                       CASE doc_id % 8
+                            WHEN 0 THEN 'image/jpeg'
+                            WHEN 1 THEN 'image/png'
+                            WHEN 2 THEN 'image/gif'
+                            WHEN 3 THEN 'image/webp'
+                            WHEN 4 THEN 'audio/mpeg'
+                            WHEN 5 THEN 'video/mp4'
+                            WHEN 6 THEN 'application/pdf'
+                            ELSE 'application/octet-stream'
+                       END AS sniffed_type
+                FROM documents)
+            SELECT d.media_ref, d.media_type, sn.sniffed_type, d.width,
+                   d.height, d.n_frames, d.ok,
                    coalesce(agg.n_sampled_frames, 0) AS n_sampled_frames,
                    CAST(agg.last_frame_idx AS INT) AS last_frame_idx
             FROM d LEFT JOIN agg USING (media_ref)
+            JOIN sn USING (media_ref)
         """,
         "sitemap_locs": """
             WITH x AS (

@@ -41,6 +41,43 @@ DECODED_SCHEMA = (
 )
 
 
+def sniff_media_type(content) -> "F.Column":
+    """Content-type from magic bytes (the WHATWG MIME-sniffing /
+    file(1) approach, public signatures) — a crawl cannot trust the
+    server's Content-Type header, so the stored ``media_type`` column
+    should come from the bytes themselves. Pure JVM: hex the first 16
+    bytes (``hex(substring(binary))`` stays O(1) per row regardless of
+    blob size) and prefix-match. Detects the formats a web crawl
+    actually meets: JPEG, PNG, GIF(87a/89a), WebP/WAV (RIFF with the
+    format tag at bytes 9-12), MP4 (``ftyp`` at bytes 5-8), MP3
+    (ID3v2 or a bare frame-sync), Ogg, PDF, gzip, and falls back to
+    ``application/octet-stream``. NULL content stays NULL."""
+    h = F.hex(F.substring(content, 1, 16))
+    return (
+        F.when(content.isNull(), F.lit(None).cast("string"))
+        .when(h.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(h.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(
+            h.startswith("474946383761") | h.startswith("474946383961"),
+            F.lit("image/gif"),
+        )
+        .when(
+            h.startswith("52494646") & (F.substring(h, 17, 8) == "57454250"),
+            F.lit("image/webp"),
+        )
+        .when(
+            h.startswith("52494646") & (F.substring(h, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(h.startswith("494433") | h.startswith("FFFB"), F.lit("audio/mpeg"))
+        .when(h.startswith("4F676753"), F.lit("audio/ogg"))
+        .when(F.substring(h, 9, 8) == "66747970", F.lit("video/mp4"))
+        .when(h.startswith("25504446"), F.lit("application/pdf"))
+        .when(h.startswith("1F8B"), F.lit("application/gzip"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
 def fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Deterministic decode stand-in: dimensions derived from
     sha256(content). Clearly marked — replace with a PIL/ffmpeg-backed

@@ -2280,6 +2280,103 @@ def test_warc_export_roundtrip(spark, tmp_path):
     )
 
 
+def test_budget_by_registered_domain(spark):
+    """eTLD+1 crawl budgets: subdomains of one registered domain share
+    ONE budget (per-host budgets would undercount a multi-subdomain
+    operator); hosts with no registered domain fall back to themselves
+    as the key."""
+    from spider_spark.functions.domains import psl_dim
+    from spider_spark.operators.politeness import budget_by_registered_domain
+
+    rows = []
+    seq = 0
+    for sub in ("a", "b", "c"):
+        for i in range(4):
+            seq += 1
+            rows.append((f"{sub}.example.co.uk", f"fp{seq}", 1, seq))
+    for i in range(3):
+        seq += 1
+        rows.append(("other.com", f"fp{seq}", 1, seq))
+    seq += 1
+    rows.append(("co.uk", f"fp{seq}", 1, seq))  # public suffix itself
+    fr = spark.createDataFrame(
+        rows, "host string, fingerprint string, priority int, discovered_seq long"
+    )
+    out = budget_by_registered_domain(fr, psl_dim(spark), domain_budget=5)
+    got = out.groupBy("budget_domain").count().collect()
+    counts = {r["budget_domain"]: r["count"] for r in got}
+    # 12 example.co.uk rows collapse to the 5-row domain budget
+    assert counts["example.co.uk"] == 5
+    assert counts["other.com"] == 3  # under budget: all pass
+    assert counts["co.uk"] == 1  # no reg domain -> own key
+    # dispatch order within the domain: discovery order (equal priority)
+    ex = sorted(
+        r["discovered_seq"]
+        for r in out.filter(F.col("budget_domain") == "example.co.uk").collect()
+    )
+    assert ex == [1, 2, 3, 4, 5]
+
+
+def test_focused_priorities_parent_relevance(spark):
+    """Focused crawling (Chakrabarti 1999): children of high-relevance
+    parents outrank children of low-relevance parents; seeds/orphans
+    keep their base priority; the boost composes additively."""
+    from spider_spark.operators.focused import focused_priorities
+
+    frontier = spark.createDataFrame(
+        [
+            ("u_on", 10, 2),   # child of on-topic parent
+            ("u_off", 20, 2),  # child of off-topic parent
+            ("u_seed", 0, 2),  # seed: no parent
+            ("u_gone", 99, 2), # parent never scored
+        ],
+        "url string, parent_seq long, priority int",
+    )
+    rel = spark.createDataFrame(
+        [(10, 0.95), (20, 0.05), (30, 0.5), (40, 0.6)],
+        "discovered_seq long, relevance double",
+    )
+    out = {r["url"]: r["priority"]
+           for r in focused_priorities(frontier, rel, n_levels=4).collect()}
+    assert out["u_seed"] == 2 and out["u_gone"] == 2
+    assert out["u_on"] == 2 + 4   # top quartile parent
+    assert out["u_off"] == 2 + 1  # bottom quartile parent
+    assert out["u_on"] > out["u_off"]
+
+
+def test_sniff_media_type_signatures(spark):
+    """Magic-byte sniffing hand vectors: the RIFF container
+    discriminates WebP from WAV by the format tag at bytes 9-12; gzip,
+    Ogg, bare-frame-sync MP3 are detected; unknown bytes fall back to
+    octet-stream; NULL content stays NULL; a 1-byte blob can't match
+    any signature."""
+    from spider_spark.operators.media import sniff_media_type
+
+    cases = [
+        ("jpeg", b"\xff\xd8\xff\xe0junk", "image/jpeg"),
+        ("png", b"\x89PNG\r\n\x1a\nrest", "image/png"),
+        ("gif87", b"GIF87adata", "image/gif"),
+        ("webp", b"RIFF\x12\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("wav", b"RIFF\x12\x00\x00\x00WAVEfmt ", "audio/wav"),
+        ("mp3_id3", b"ID3\x04tag", "audio/mpeg"),
+        ("mp3_sync", b"\xff\xfbframe", "audio/mpeg"),
+        ("ogg", b"OggS\x00", "audio/ogg"),
+        ("mp4", b"\x00\x00\x00\x18ftypisom", "video/mp4"),
+        ("pdf", b"%PDF-1.7", "application/pdf"),
+        ("gzip", b"\x1f\x8b\x08", "application/gzip"),
+        ("unknown", b"hello world", "application/octet-stream"),
+        ("tiny", b"X", "application/octet-stream"),
+        ("null", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(c) if c is not None else None) for n, c, _ in cases],
+        "name string, content binary",
+    )
+    got = {r["name"]: r["t"] for r in
+           df.select("name", sniff_media_type(F.col("content")).alias("t")).collect()}
+    assert got == {n: exp for n, _, exp in cases}
+
+
 def test_surt_key_canonical_forms(spark):
     """SURT transform (IA spec subset): scheme/fragment dropped,
     lowercase, leading www. stripped, host labels reversed with
