@@ -158,8 +158,11 @@ def merge_document_fragments(raw: DataFrame) -> DataFrame:
     return plain.select(out_cols).unionByName(merged.select(out_cols))
 
 
-def extract_links(fetched_ok: DataFrame) -> DataFrame:
-    """Pages with out_links -> raw child request rows (pre-identity).
+def extract_links_raw(fetched_ok: DataFrame) -> DataFrame:
+    """Pages with out_links -> PRE-RESOLUTION child request rows
+    (``base_url``/``href`` instead of an absolute ``url`` — pure JVM,
+    no UDF; :func:`resolve_candidates` applies the one vectorized
+    resolve pass after redirect candidates union in).
 
     Children inherit source/meta/priority from the parent (the
     reference threads these via ``meta=`` — ``aands_org_uk.py:30-49``).
@@ -193,7 +196,8 @@ def extract_links(fetched_ok: DataFrame) -> DataFrame:
     )
     return exploded.select(
         "crawl_id",
-        resolve_udf(F.col("base_url"), F.col("href")).alias("url"),
+        "base_url",
+        "href",
         F.lit("GET").alias("method"),
         F.lit(None).cast("string").alias("body"),
         "source",
@@ -206,7 +210,42 @@ def extract_links(fetched_ok: DataFrame) -> DataFrame:
     )
 
 
-def redirect_candidates(
+def resolve_candidates(raw: DataFrame) -> DataFrame:
+    """(base_url, href) candidate rows -> absolute-URL request rows.
+
+    The ONE Arrow/Python crossing of the link path. Link extraction and
+    redirect following both emit the raw (base, href) shape and union
+    BEFORE this resolve, so adding the redirect branch costs two cheap
+    JVM projections over the fetched cache instead of a second
+    vectorized-UDF plan node — one extra UDF node here measurably
+    added seconds of per-wave overhead at bench scale (each consumer
+    evaluation of the candidate plan pays every UDF node's Python
+    round trip for all partitions, even when the redirect side holds
+    zero rows)."""
+    return raw.select(
+        "crawl_id",
+        resolve_udf(F.col("base_url"), F.col("href")).alias("url"),
+        "method",
+        "body",
+        "source",
+        "meta",
+        "priority",
+        "attempt",
+        "dont_filter",
+        "parent_seq",
+        "link_pos",
+    )
+
+
+def extract_links(fetched_ok: DataFrame) -> DataFrame:
+    """Resolved child request rows — :func:`extract_links_raw` +
+    :func:`resolve_candidates` (kept as the single-call surface for
+    tests and non-engine callers; the engine unions redirect
+    candidates between the two stages)."""
+    return resolve_candidates(extract_links_raw(fetched_ok))
+
+
+def redirect_candidates_raw(
     fetched: DataFrame,
     max_times: int = schemas.REDIRECT_MAX_TIMES,
     priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST,
@@ -234,9 +273,15 @@ def redirect_candidates(
       already seen).
 
     Scale shape: one filter + projection over the already-persisted
-    fetched wave — no shuffle, no Python. Emits ``link_pos = -1`` so
-    redirect targets order deterministically BEFORE the page's
-    extracted links under the (parent_seq, link_pos) sort.
+    fetched wave — no shuffle, no Python (PRE-RESOLUTION shape: the
+    Location rides as ``href`` and the shared
+    :func:`resolve_candidates` pass makes it absolute AFTER the union
+    with extracted links, so the redirect branch adds no second UDF
+    node to the wave plan). Emits ``link_pos = -1`` so redirect
+    targets order deterministically BEFORE the page's extracted links
+    under the (parent_seq, link_pos) sort — the engine also uses
+    ``link_pos < 0`` as the redirect marker that bypasses
+    LinkExtractor rules and the offsite filter per-row.
     """
     base_meta = F.coalesce(F.col("meta"), F.create_map())
     dont_redirect = ~F.lower(
@@ -274,7 +319,8 @@ def redirect_candidates(
     )
     return redirs.select(
         "crawl_id",
-        resolve_udf(F.col("url"), F.col("location")).alias("url"),
+        F.col("url").alias("base_url"),
+        F.col("location").alias("href"),
         F.when(keep_method, F.col("method")).otherwise(F.lit("GET")).alias("method"),
         F.when(keep_method, F.col("body")).otherwise(F.lit(None).cast("string")).alias("body"),
         "source",
@@ -287,7 +333,137 @@ def redirect_candidates(
     )
 
 
-def apply_link_rules(links: DataFrame, rules: DataFrame | None) -> DataFrame:
+def redirect_candidates(
+    fetched: DataFrame,
+    max_times: int = schemas.REDIRECT_MAX_TIMES,
+    priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST,
+) -> DataFrame:
+    """Resolved redirect candidates — :func:`redirect_candidates_raw`
+    + :func:`resolve_candidates` (single-call surface for tests; the
+    engine uses :func:`extract_candidates_raw`, which fuses links and
+    redirects into one scan)."""
+    return resolve_candidates(
+        redirect_candidates_raw(fetched, max_times, priority_adjust)
+    )
+
+
+def extract_candidates_raw(
+    fetched: DataFrame,
+    max_times: int = schemas.REDIRECT_MAX_TIMES,
+    priority_adjust: int = schemas.REDIRECT_PRIORITY_ADJUST,
+) -> DataFrame:
+    """Links AND redirect targets from ONE scan of the fetched wave —
+    no union (requires a ``location`` column; use
+    :func:`extract_links_raw` otherwise).
+
+    Semantically identical to
+    ``extract_links_raw(ok) ∪ redirect_candidates_raw(fetched)`` but
+    structurally one linear plan: a 3xx row explodes
+    ``array(location)`` where a parsed page explodes ``out_links``,
+    and every redirect-specific transform (method/body downgrade, hop
+    counter + trail meta, priority adjust, dont_filter inheritance,
+    ``link_pos = -1``) is a per-row ``CASE``. Measured motivation
+    (round 4): a union of the two branches made every AQE evaluation
+    of the candidate plan materialize extra shuffle query stages —
+    +10 jobs/+46 stages PER WAVE on the bench crawl, ~3.5 s/wave of
+    pure scheduling overhead even with zero redirect rows. The fused
+    scan restores the pre-redirect job count; redirect support now
+    costs one CASE per column instead of a plan branch.
+    """
+    parse_ok = (
+        F.col("_parse_ok") if "_parse_ok" in fetched.columns
+        else F.col("status") == 200
+    )
+    base_meta = F.coalesce(F.col("meta"), F.create_map())
+    dont_redirect = ~F.lower(
+        F.coalesce(F.element_at(base_meta, "dont_redirect"), F.lit(""))
+    ).isin("", "0", "false")
+    times = F.coalesce(
+        F.element_at(base_meta, "redirect_times").cast("int"), F.lit(0)
+    )
+    is_redir = (
+        F.col("status").isin(schemas.REDIRECT_HTTP_CODES)
+        & F.col("location").isNotNull()
+        & ~parse_ok
+        & ~dont_redirect
+        & (times < F.lit(max_times))
+    )
+    has_links = parse_ok & (
+        F.size(F.coalesce(F.col("out_links"), F.array())) > 0
+    )
+    # link-side meta: never inherit the conditional-GET validator;
+    # detail pages thread the parent's doc key (multi-page assembly)
+    link_meta_base = F.map_filter(
+        base_meta, lambda k, _: k != F.lit("if_none_match")
+    )
+    child_meta = F.when(F.col("is_listing_page"), link_meta_base).otherwise(
+        F.map_concat(
+            F.map_filter(link_meta_base, lambda k, v: k != F.lit("doc_id")),
+            F.create_map(F.lit("doc_id"), _doc_key()),
+        )
+    )
+    # redirect-side meta: hop counter + '|'-joined trail
+    trail = F.element_at(base_meta, "redirect_urls")
+    redirect_meta = F.map_concat(
+        F.map_filter(
+            base_meta, lambda k, _: ~k.isin("redirect_times", "redirect_urls")
+        ),
+        F.create_map(
+            F.lit("redirect_times"), (times + 1).cast("string"),
+            F.lit("redirect_urls"),
+            F.when(trail.isNull(), F.col("url")).otherwise(
+                F.concat(trail, F.lit("|"), F.col("url"))
+            ),
+        ),
+    )
+    keep_method = F.col("status").isin(301, 307, 308) | (
+        F.upper(F.col("method")) == "HEAD"
+    )
+    hrefs = F.when(is_redir, F.array(F.col("location"))).otherwise(
+        F.col("out_links")
+    )
+    exploded = fetched.filter(has_links | is_redir).select(
+        "crawl_id",
+        F.col("url").alias("base_url"),
+        "source",
+        F.when(is_redir, redirect_meta).otherwise(child_meta).alias("meta"),
+        F.when(is_redir, F.col("priority") + F.lit(priority_adjust))
+        .otherwise(F.col("priority"))
+        .alias("priority"),
+        F.when(is_redir & keep_method, F.col("method"))
+        .otherwise(F.lit("GET"))
+        .alias("method"),
+        F.when(is_redir & keep_method, F.col("body"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("body"),
+        F.when(is_redir, F.col("dont_filter"))
+        .otherwise(F.lit(False))
+        .alias("dont_filter"),
+        is_redir.alias("_redir"),
+        F.col("discovered_seq").alias("parent_seq"),
+        F.posexplode(hrefs).alias("pos", "href"),
+    )
+    return exploded.select(
+        "crawl_id",
+        "base_url",
+        "href",
+        "method",
+        "body",
+        "source",
+        "meta",
+        "priority",
+        F.lit(0).alias("attempt"),
+        "dont_filter",
+        "parent_seq",
+        F.when(F.col("_redir"), F.lit(-1))
+        .otherwise(F.col("pos"))
+        .alias("link_pos"),
+    )
+
+
+def apply_link_rules(
+    links: DataFrame, rules: DataFrame | None, bypass=None
+) -> DataFrame:
     """LinkExtractor ``allow``/``deny`` filter (``a_venue_be.py:7``;
     59 CrawlSpider spiders): per-source regexes applied to the ABSOLUTE
     resolved URL — NULL allow passes everything, a deny match drops.
@@ -307,10 +483,14 @@ def apply_link_rules(links: DataFrame, rules: DataFrame | None) -> DataFrame:
         F.col("link_deny").isNull()
         | ~F.regexp_like(F.col("url"), F.col("link_deny"))
     )
+    if bypass is not None:
+        keep = keep | bypass
     return joined.filter(keep).drop("link_allow", "link_deny")
 
 
-def offsite_filter(links: DataFrame, rules: DataFrame | None) -> DataFrame:
+def offsite_filter(
+    links: DataFrame, rules: DataFrame | None, bypass=None
+) -> DataFrame:
     """OffsiteMiddleware analog: drop child links whose host is not one
     of the spider's ``allowed_domains`` (1,249 reference spiders set it,
     e.g. ``allowed_domains = ['2a-immo.fr']``). Scrapy semantics
@@ -334,8 +514,14 @@ def offsite_filter(links: DataFrame, rules: DataFrame | None) -> DataFrame:
         F.col("allowed_domains"),
         lambda d: (host == d) | host.endswith(F.concat(F.lit("."), d)),
     )
-    bypass = F.coalesce(F.col("dont_filter"), F.lit(False)) if "dont_filter" in links.columns else F.lit(False)
-    return joined.filter(no_rule | bypass | on_site).drop("allowed_domains")
+    skip = (
+        F.coalesce(F.col("dont_filter"), F.lit(False))
+        if "dont_filter" in links.columns
+        else F.lit(False)
+    )
+    if bypass is not None:
+        skip = skip | bypass
+    return joined.filter(no_rule | skip | on_site).drop("allowed_domains")
 
 
 def assign_seq(df: DataFrame, order_cols: list, base: int) -> DataFrame:

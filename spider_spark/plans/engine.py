@@ -313,6 +313,21 @@ class CrawlEngine:
         totals = {"fetched": 0, "docs": 0, "waves": 0}
         if cfg.profile:
             totals["profile"] = []
+        # static redirect gate: a web with no (3xx, Location) row can
+        # never produce a redirect, so skip building the redirect arm
+        # of the candidate plan entirely — the arm costs real per-wave
+        # scheduling overhead even when it matches zero rows (its
+        # expressions ride every evaluation of the candidates subtree;
+        # measured round 4). One early-exit job over the web dim at
+        # crawl start, never per wave.
+        follow_redirects = "location" in self.web.columns and bool(
+            self.web.filter(
+                F.col("location").isNotNull()
+                & F.col("status").isin(schemas.REDIRECT_HTTP_CODES)
+            )
+            .limit(1)
+            .count()
+        )
         n_pending = pending.count()  # parquet count: metadata-only, cheap
         while wave <= cfg.max_waves:
             if n_pending == 0:
@@ -372,24 +387,39 @@ class CrawlEngine:
             )
 
             docs = S.extract_documents(ok)
-            new_links = S.apply_link_rules(S.extract_links(ok), self.link_rules)
-            new_links = S.offsite_filter(new_links, self.offsite_rules)
-            if "location" in fetched.columns:
-                # 3xx follow (RedirectMiddleware analog). Targets skip
-                # LinkExtractor rules AND the offsite filter — in
+            if follow_redirects:
+                # 3xx follow (RedirectMiddleware analog) FUSED into the
+                # link-extraction scan: a 3xx row explodes its Location
+                # where a parsed page explodes out_links, so the wave
+                # plan has no union and exactly one resolve-UDF node.
+                # (Round-4 regression, measured and fixed: a
+                # links ∪ redirects union made every AQE evaluation of
+                # the candidate plan materialize extra shuffle query
+                # stages — +10 jobs/+46 stages per wave, ~3.5 s/wave of
+                # scheduling overhead even with ZERO redirect rows.)
+                # Targets skip LinkExtractor rules AND the offsite
+                # filter (link_pos < 0 is the redirect marker) — in
                 # Scrapy 2.3 (the reference's version) redirects happen
                 # in a downloader middleware, below the spider-level
                 # OffsiteMiddleware; the downloader-side offsite check
                 # post-dates the reference. They DO pass the dupe
                 # filter via the shared _admit below — which is also
                 # what terminates redirect loops.
-                new_links = new_links.unionByName(
-                    S.redirect_candidates(
-                        fetched,
-                        self.cfg.redirect_max_times,
-                        self.cfg.redirect_priority_adjust,
-                    )
+                raw_links = S.extract_candidates_raw(
+                    fetched,
+                    self.cfg.redirect_max_times,
+                    self.cfg.redirect_priority_adjust,
                 )
+            else:
+                raw_links = S.extract_links_raw(ok)
+            is_redirect = F.col("link_pos") < 0
+            new_links = S.resolve_candidates(raw_links)
+            new_links = S.apply_link_rules(
+                new_links, self.link_rules, bypass=is_redirect
+            )
+            new_links = S.offsite_filter(
+                new_links, self.offsite_rules, bypass=is_redirect
+            )
             if cfg.trap_filter:
                 # Fence BEFORE assign_seq: a fenced link never gets a
                 # seq, never reaches dedup/politeness, and (unlike a
