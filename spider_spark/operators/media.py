@@ -69,7 +69,15 @@ def sniff_media_type(content) -> "F.Column":
             h.startswith("52494646") & (F.substring(h, 17, 8) == "57415645"),
             F.lit("audio/wav"),
         )
-        .when(h.startswith("494433") | h.startswith("FFFB"), F.lit("audio/mpeg"))
+        .when(
+            # MPEG audio frame sync is 11 set bits: 0xFF then a second
+            # byte >= 0xE0 (covers FFE2/FFF2/FFF3/FFFA/FFFB variants).
+            # JPEG's FFD8FF is matched above so it can't reach here.
+            h.startswith("494433")
+            | h.startswith("FFE")
+            | h.startswith("FFF"),
+            F.lit("audio/mpeg"),
+        )
         .when(h.startswith("4F676753"), F.lit("audio/ogg"))
         .when(F.substring(h, 9, 8) == "66747970", F.lit("video/mp4"))
         .when(h.startswith("25504446"), F.lit("application/pdf"))

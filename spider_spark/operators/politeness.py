@@ -198,6 +198,6 @@ def budget_by_registered_domain(
     ).withColumn("_k", F.lit(int(domain_budget)))
     return (
         topk_per_key_salted(fr, key="_budget_key", k_col="_k", n_salts=n_salts)
-        .drop("_k")
+        .drop("_k", "reg_domain")
         .withColumnRenamed("_budget_key", "budget_domain")
     )

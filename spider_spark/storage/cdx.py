@@ -80,9 +80,12 @@ def cdx_index(
     5-digit shard number."""
     shard = F.pmod(F.hash(F.col(url_col)), F.lit(n_shards))
     length = (F.octet_length(F.col(record_col)) + F.lit(1)).cast("long")
+    # staged renames url_col -> "url" below, so the offset window must
+    # order by the renamed column or any non-default url_col raises an
+    # AnalysisException at runtime.
     w = (
         Window.partitionBy("shard")
-        .orderBy(url_col)
+        .orderBy("url")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = records.select(

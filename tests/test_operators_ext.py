@@ -2303,6 +2303,9 @@ def test_budget_by_registered_domain(spark):
         rows, "host string, fingerprint string, priority int, discovered_seq long"
     )
     out = budget_by_registered_domain(fr, psl_dim(spark), domain_budget=5)
+    # budget_domain is the single budget-key column; the helper
+    # reg_domain column must not leak into the frontier schema
+    assert "reg_domain" not in out.columns
     got = out.groupBy("budget_domain").count().collect()
     counts = {r["budget_domain"]: r["count"] for r in got}
     # 12 example.co.uk rows collapse to the 5-row domain budget
@@ -2360,6 +2363,13 @@ def test_sniff_media_type_signatures(spark):
         ("wav", b"RIFF\x12\x00\x00\x00WAVEfmt ", "audio/wav"),
         ("mp3_id3", b"ID3\x04tag", "audio/mpeg"),
         ("mp3_sync", b"\xff\xfbframe", "audio/mpeg"),
+        # frame-sync variants: 0xFF + second byte >= 0xE0 (11-bit sync)
+        ("mp3_sync_fa", b"\xff\xfaframe", "audio/mpeg"),
+        ("mp3_sync_f3", b"\xff\xf3frame", "audio/mpeg"),
+        ("mp3_sync_f2", b"\xff\xf2frame", "audio/mpeg"),
+        ("mp3_sync_e3", b"\xff\xe3frame", "audio/mpeg"),
+        # 0xFFD8 is JPEG territory, 0xFFC0 < 0xE0 is NOT a frame sync
+        ("not_sync", b"\xff\xc0junk", "application/octet-stream"),
         ("ogg", b"OggS\x00", "audio/ogg"),
         ("mp4", b"\x00\x00\x00\x18ftypisom", "video/mp4"),
         ("pdf", b"%PDF-1.7", "application/pdf"),
@@ -2429,3 +2439,28 @@ def test_cdx_index_matches_written_shards(spark, tmp_path):
     # surt ordering: keys sort host-major (the archive seek pattern)
     surts = sorted(r["surt"] for r in idx)
     assert surts[0].startswith("example,h0)") and surts[-1].startswith("example,h4)")
+
+
+def test_cdx_index_non_default_url_col(spark):
+    """cdx_index with url_col != 'url': the offset window runs over
+    the staged (renamed) frame, so it must order by the renamed 'url'
+    column — ordering by the caller's column name raised an
+    AnalysisException before the round-5 fix. Offsets/lengths must be
+    identical to the default-name path on the same data."""
+    from spider_spark.storage.cdx import cdx_index
+
+    recs = spark.createDataFrame(
+        [(f"http://h{i % 3}.example/p/{i}", f"rec-{i}") for i in range(12)],
+        "page_url string, record string",
+    )
+    got = {
+        r["url"]: (r["shard"], r["offset"], r["length"])
+        for r in cdx_index(recs, n_shards=2, url_col="page_url").collect()
+    }
+    base = {
+        r["url"]: (r["shard"], r["offset"], r["length"])
+        for r in cdx_index(
+            recs.withColumnRenamed("page_url", "url"), n_shards=2
+        ).collect()
+    }
+    assert got == base and len(got) == 12
