@@ -575,11 +575,15 @@ _ED_POOL = [
     "August", "Mai", "Juli", "Dezember", "November", "April",
 ]
 #: multi-locale month words for q_date_multilocale (en/es/fr/nl/tr +
-#: it/pt/de since round 4 — gennaio/março/dezember exercise the added
-#: MULTILOCALE_MONTHS locales through the same oracle)
+#: it/pt/de since round 4; pl/da/sv/ro since round 5 — the oracle's
+#: word array is generated from this list, so both sides index the
+#: same pool; the month-number CASE is generated from
+#: MULTILOCALE_MONTHS itself)
 _ML_POOL = [
     "march", "agosto", "août", "mei", "ocak", "gennaio",
     "julio", "février", "kasım", "março", "maart", "dezember",
+    # round 5: pl (nominative + genitive), da, sv, ro
+    "marzec", "grudnia", "marts", "augusti", "octombrie", "iunie",
 ]
 _ML_TODAY = "2021-06-15"
 
@@ -635,7 +639,10 @@ def q_date_multilocale(spark: SparkSession, sf_dir: str) -> DataFrame:
     mnum = (eid % 12 + 1).cast("string")
     mm = F.lpad(mnum, 2, "0")
     yyyy = (eid % 4 + 2020).cast("string")
-    w = F.element_at(F.array(*[F.lit(x) for x in _ML_POOL]), (eid % 12 + 1).cast("int"))
+    w = F.element_at(
+        F.array(*[F.lit(x) for x in _ML_POOL]),
+        (eid % len(_ML_POOL) + 1).cast("int"),
+    )
     form = eid % 7
     raw = (
         F.when(form == 0, F.concat(d, F.lit("/"), mnum, F.lit("/"), yyyy))
@@ -2171,6 +2178,8 @@ def _ml_oracle() -> str:
         return f"CASE {w} {whens} ELSE NULL END"
 
     nxt = int(_ML_TODAY[:4]) + 1
+    pool_sql = "[" + ",".join(f"'{w}'" for w in _ML_POOL) + "]"
+    pool_pick = f"({pool_sql})[CAST(event_id % {len(_ML_POOL)} AS INT) + 1]"
     num_re = "'^(\\d{1,2})[./-](\\d{1,2})[./-](\\d{4})$'"
     dmy_re = "'^(\\d{1,2})(?:st|nd|rd|th)?\\.?\\s+([^\\s\\d.,]+)\\.?,?\\s+(\\d{4})$'"
     mdy_re = "'^([^\\s\\d.,]+)\\.?\\s+(\\d{1,2})(?:st|nd|rd|th)?\\s*,?\\s*(\\d{4})$'"
@@ -2184,12 +2193,8 @@ def _ml_oracle() -> str:
                              || '-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
                              || '-' || (event_id % 4 + 2020)
                         WHEN 2 THEN (event_id % 28 + 1) || ' ' ||
-                             (['march','agosto','août','mei','ocak','gennaio','julio',
-                               'février','kasım','março','maart','dezember'])
-                             [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 4 + 2020)
-                        WHEN 3 THEN (['march','agosto','août','mei','ocak','gennaio',
-                               'julio','février','kasım','março','maart','dezember'])
-                             [CAST(event_id % 12 AS INT) + 1] || ' ' || (event_id % 28 + 1)
+                             {pool_pick} || ' ' || (event_id % 4 + 2020)
+                        WHEN 3 THEN {pool_pick} || ' ' || (event_id % 28 + 1)
                              || ', ' || (event_id % 4 + 2020)
                         WHEN 4 THEN (event_id % 28 + 1) || '.' || (event_id % 12 + 1)
                              || '.' || (event_id % 4 + 2020)

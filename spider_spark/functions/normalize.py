@@ -266,10 +266,32 @@ MULTILOCALE_MONTHS: dict[str, int] = {
     "janeiro": 1, "fevereiro": 2, "março": 3, "marco": 3, "maio": 5,
     "junho": 6, "julho": 7, "setembro": 9, "outubro": 10, "novembro": 11,
     "dezembro": 12,
+    # pl (round 5: easyrenting_pl cohort — nominative + the genitive
+    # forms real Polish dates use, '15 stycznia 2021', plus ascii
+    # fallbacks for the diacritic months)
+    "styczeń": 1, "styczen": 1, "stycznia": 1, "luty": 2, "lutego": 2,
+    "marzec": 3, "marca": 3, "kwiecień": 4, "kwiecien": 4, "kwietnia": 4,
+    "maj": 5, "maja": 5, "czerwiec": 6, "czerwca": 6, "lipiec": 7,
+    "lipca": 7, "sierpień": 8, "sierpien": 8, "sierpnia": 8,
+    "wrzesień": 9, "wrzesien": 9, "września": 9, "wrzesnia": 9,
+    "październik": 10, "pazdziernik": 10, "października": 10,
+    "pazdziernika": 10, "listopad": 11, "listopada": 11, "grudzień": 12,
+    "grudzien": 12, "grudnia": 12,
+    # da (round 5) — distinctive forms only; januar/februar/april/juni/
+    # juli/august/september/oktober/november shared with de/nl/en above
+    "marts": 3,
+    # sv (round 5) — januari/februari shared with nl, mars with fr,
+    # maj with pl/da; distinctive: augusti
+    "augusti": 8,
+    # ro (round 5)
+    "ianuarie": 1, "februarie": 2, "martie": 3, "aprilie": 4,
+    "iunie": 6, "iulie": 7, "septembrie": 9, "octombrie": 10,
+    "noiembrie": 11, "decembrie": 12,
     # shared across the added locales and already present with the same
     # month value: marzo(es/it 3), agosto(es/it/pt 8), abril(es/pt 4),
-    # novembre(fr/it 11), mai(fr/de 5), juni/juli(nl/de), april/august/
-    # september/november(en/de), oktober(nl/de)
+    # novembre(fr/it 11), mai(fr/de/ro 5), juni/juli(nl/de/da/sv),
+    # april/august/september/november(en/de/da/sv), oktober(nl/de/da/sv),
+    # december(en/da/sv 12), maj(pl/da/sv 5)
 }
 
 _ML_NUMERIC_RE = r"^(\d{1,2})[./-](\d{1,2})[./-](\d{4})$"

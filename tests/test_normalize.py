@@ -208,6 +208,17 @@ def test_multilocale_available_date(spark):
         ("5 märz 2021", "2022-03-05"),
         ("1 março 2022", "2022-03-01"),
         ("outubro 8, 2021", "2021-10-08"),
+        # round 5: pl/da/sv/ro (the remaining reference locales —
+        # easyrenting_pl cohort); Polish dates use the genitive form
+        ("15 stycznia 2021", "2022-01-15"),
+        ("3 marzec 2021", "2022-03-03"),
+        ("7 października 2021", "2021-10-07"),
+        ("grudnia 2, 2021", "2021-12-02"),
+        ("1 marts 2022", "2022-03-01"),
+        ("12 augusti 2021", "2021-08-12"),
+        ("5 octombrie 2021", "2021-10-05"),
+        ("iunie 20, 2021", "2021-06-20"),
+        ("28 februarie 2021", "2022-02-28"),
     ]
     got = col_vals(
         spark, [x for x, _ in vec], lambda c: N.multilocale_available_date(c, "2021-06-15")
