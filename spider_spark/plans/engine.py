@@ -36,6 +36,32 @@ from ..sources.fetch import canonical_web, fetch_synthetic
 from ..storage.catalog import SnapshotStore
 
 
+def observed_stats(obs: Observation, label: str, expected: tuple[str, ...]) -> dict:
+    """Resolve an :class:`Observation` and guard the observe()-metrics
+    invariant (see the wave-stats comment in :meth:`CrawlEngine.run`):
+    every observe node is attached ABOVE a persisted plan and consumed
+    by exactly ONE query, so the resolved row must carry ALL expected
+    metric columns. If a CollectMetrics node is ever moved UNDER a
+    shared cache, whichever consumer's query-end event reaches the JVM
+    listener first wins — and a consumer that merely reads the
+    populated cache (or scans it partially: a LIMIT consumer resolves
+    the count of ONE partition, measured in
+    ``test_engine.test_observe_under_shared_cache_is_hazardous``)
+    resolves an empty or partial row. Empty/missing-key rows fail
+    loudly here instead of committing wrong per-wave stats.
+    """
+    row = obs.get
+    missing = [k for k in expected if k not in row]
+    if not row or missing:
+        raise RuntimeError(
+            f"observe-metrics invariant violated for {label!r}: resolved "
+            f"metrics row {row!r} is missing {missing or 'all columns'} — "
+            "a CollectMetrics node was likely moved under a shared cache "
+            "(see the wave-stats comment in CrawlEngine.run)"
+        )
+    return row
+
+
 @dataclass
 class CrawlConfig:
     crawl_id: str = "crawl-0"
@@ -529,7 +555,8 @@ class CrawlEngine:
                         self.store.write_wave, "revalidations", wave, reval
                     )
                 t_p = time.monotonic()
-                a_row = obs_admitted.get  # blocks until the frontier write fires it
+                # blocks until the frontier write fires it
+                a_row = observed_stats(obs_admitted, "admitted", ("n", "x"))
                 prof["stats_s"] = round(time.monotonic() - t_p, 3)
                 n_admitted = int(a_row["n"])
                 # fetched-side stats ride the METRICS write (the one
@@ -618,7 +645,8 @@ class CrawlEngine:
                     reval_fut.result()
                 metrics_fut.result()
                 prof["writes_s"] = round(time.monotonic() - t_p, 3)
-            f_row = obs_fetched.get  # fired by the metrics write
+            # fired by the metrics write
+            f_row = observed_stats(obs_fetched, "fetched", ("n", "docs"))
             next_base = max(next_base, int(a_row["x"] or 0)) + 1
             n_fetched = int(f_row["n"])
             n_docs = int(f_row["docs"] or 0)
@@ -660,7 +688,7 @@ class CrawlEngine:
             # back as an observation on the frontier write — no extra
             # per-wave action
             pending = self.store.read_table("frontier", "latest")
-            n_pending = int(obs_pending.get["n"])
+            n_pending = int(observed_stats(obs_pending, "pending", ("n",))["n"])
             wave += 1
         return totals
 

@@ -1212,3 +1212,89 @@ def test_documents_delta_incremental_export(spark, tmp_path):
     assert delta[0]["doc_id"] == changed_url.split("://", 1)[1]
     assert delta[0]["spans"][0]["text"] == "edited for the delta test"
     eng.close(); eng2.close()
+
+
+# -- observe()-metrics invariant (VERDICT r4 ask #3) ------------------------
+
+
+def test_observed_stats_guard_raises_on_empty_row():
+    """engine.observed_stats fails loudly when an Observation resolves
+    to an empty or key-missing metrics row — the signature of a
+    CollectMetrics node moved under a shared cache, where a pure
+    cache-read consumer's query-end wins the JVM listener race."""
+    from spider_spark.plans.engine import observed_stats
+
+    class FakeObs:
+        def __init__(self, row):
+            self._row = row
+
+        @property
+        def get(self):
+            return self._row
+
+    assert observed_stats(FakeObs({"n": 3, "x": 9}), "ok", ("n", "x"))["n"] == 3
+    with pytest.raises(RuntimeError, match="observe-metrics invariant"):
+        observed_stats(FakeObs({}), "empty", ("n",))
+    with pytest.raises(RuntimeError, match="missing \\['docs'\\]"):
+        observed_stats(FakeObs({"n": 5}), "partial", ("n", "docs"))
+
+
+def test_observe_under_shared_cache_is_hazardous(spark):
+    """Pins WHY every engine observe node sits ABOVE its persist with
+    exactly one consuming write query: an Observation whose
+    CollectMetrics node ends up under a cache is resolved by whichever
+    consumer's action finishes FIRST, and a partial-scan consumer
+    (here a LIMIT) resolves a count far below the full row count. If
+    an engine refactor moves a wave observation under a shared cache,
+    this measured hazard is what observed_stats' guard converts from
+    silently-wrong stats into a hard error."""
+    from pyspark.sql import Observation
+
+    df = spark.range(0, 2000, 1, 4)
+    obs = Observation()
+    cached = df.observe(obs, F.count(F.lit(1)).alias("n")).persist()
+    try:
+        cached.limit(1).collect()  # first action: partial scan wins
+        first = int(obs.get["n"])
+        assert first < 2000  # NOT the full count — the hazard is real
+        # subsequent full-scan actions cannot repair it: first wins
+        assert cached.count() == 2000
+        assert int(obs.get["n"]) == first
+    finally:
+        cached.unpersist()
+
+
+def test_wave_metrics_match_stored_tables(engine_run):
+    """Per-wave observed stats vs independent truth recomputed from the
+    stored tables: candidates(w) must equal the url_seen rows recorded
+    at wave w (plain crawl: every admitted row is recorded) and
+    docs_emitted(w) must equal the documents-table rows written at
+    wave w. An empty observed row raises in observed_stats; a PARTIAL
+    row (the shared-cache race above) would mismatch here."""
+    eng, totals, store, _log = engine_run
+    m = (
+        eng.metrics()
+        .groupBy("wave")
+        .agg(
+            F.first("candidates").alias("candidates"),
+            F.first("docs_emitted").alias("docs_emitted"),
+            F.sum("fetched").alias("fetched"),
+        )
+    )
+    seen_by_wave = {
+        r["wave"]: r["n"]
+        for r in store.read_table("url_seen", "append")
+        .groupBy("wave").agg(F.count("*").alias("n")).collect()
+    }
+    docs_by_wave = {
+        r["wave"]: r["n"]
+        for r in store.read_table("documents", "append")
+        .groupBy("wave").agg(F.count("*").alias("n")).collect()
+    }
+    rows = m.collect()
+    assert rows, "no metrics rows recorded"
+    for r in rows:
+        w = r["wave"]
+        assert r["candidates"] == seen_by_wave.get(w, 0), f"wave {w} candidates"
+        assert r["docs_emitted"] == docs_by_wave.get(w, 0), f"wave {w} docs"
+        assert r["fetched"] > 0, f"wave {w} fetched"
