@@ -203,6 +203,13 @@ def bench_queries(spark, sf_dir: str):
     def q_minhash_lsh():
         return TD.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=5).count()
 
+    def q_substring_dedup():
+        # ExactSubstr at k-gram granularity (the heaviest dedup
+        # operator: per-window hashing HOF -> corpus-wide window
+        # groupBy -> span merge -> token filter); benched so skew on
+        # hot boilerplate grams is measured, not asserted (r4 ask #6)
+        return TD.substring_dedup(docs, k=8).count()
+
     def q_simhash():
         return TD.simhash_bits(docs, n_bits=32).count()
 
@@ -252,6 +259,7 @@ def bench_queries(spark, sf_dir: str):
         ("text_scan", q_text_scan),
         ("exact_dedup", q_exact_dedup),
         ("minhash_lsh", q_minhash_lsh),
+        ("substring_dedup", q_substring_dedup),
         ("simhash", q_simhash),
         ("simhash_fast", q_simhash_fast),
         ("ann_topk", q_ann_topk),
