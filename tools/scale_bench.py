@@ -249,6 +249,16 @@ itself has no serial stage (every shuffle key is uniform:
 `fingerprint` for dedup, salted `(host, salt)` for scheduling;
 plan-shape guards in `tests/test_plans.py`).
 
+## Design-scale answer
+
+The same-box number above cannot settle the north rule's N-vs-4N
+*executor* criterion (the box's own Spark-free ceiling brackets the
+0.8 bar). **BENCH/SCALE_MODEL.md** carries the design-scale answer: a
+per-task/per-URL cost model measured from event logs at the same URL
+count (`tools/scale_model.py`), extrapolated to the 10^10-URL wave on
+250-vs-1000 executors, with every engine-side quantity measured and
+every cluster assumption cited.
+
 Other notes
 - At 10^10 URLs the same plan shape holds: no single partition exceeds
   ~frontier/shuffle-partitions rows regardless of host skew.

@@ -47,14 +47,13 @@ CORES_PER_EXECUTOR = 4
 #: per-executor network bandwidth: 10 GbE = 1.25 GB/s, the conservative
 #: public cloud baseline (AWS r5.xlarge "up to 10 Gbps"; on-prem 10GbE).
 EXEC_NET_BYTES_S = 1.25e9
-#: driver task-dispatch occupancy: Spark's scheduler handles ~O(1) ms
-#: driver CPU per task (public figure consistent with the measured
-#: scheduler-delay numbers this tool reports; Ousterhout et al.,
-#: "Sparrow" NSDI'13 measure the centralized Spark scheduler at
-#: ~1.5k tasks/s ≈ 0.7 ms/task; modern Spark is faster — we use the
-#: MEASURED per-task driver occupancy from this box's event log,
-#: capped below at this public floor).
-DRIVER_MS_PER_TASK_FLOOR = 0.2
+#: driver task-dispatch THROUGHPUT: Ousterhout et al., "Sparrow"
+#: NSDI'13 measured the centralized Spark scheduler at ~1.5k tasks/s;
+#: modern Spark is faster, so this is conservative. Dispatch overlaps
+#: execution (the driver schedules wave i+1 while wave i runs), so it
+#: enters the model as a throughput FLOOR on wall time — tasks /
+#: DRIVER_TASKS_PER_S — not as additive latency.
+DRIVER_TASKS_PER_S = 1500.0
 #: shuffle-partition target at design scale (Spark docs recommend
 #: 100-200 MB per task post-AQE-coalesce).
 TARGET_PARTITION_BYTES = 128 * 1024 * 1024
@@ -73,7 +72,9 @@ os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "{shuffle}"
 from spider_spark.session import get_spark
 spark = get_spark("scale-model", cpus={cpus}, tmpfs_local_dir=True,
                   extra_conf={{"spark.eventLog.enabled": "true",
-                              "spark.eventLog.dir": {log_dir!r}}})
+                              "spark.eventLog.dir": {log_dir!r},
+                              "spark.eventLog.rolling.enabled": "false",
+                              "spark.eventLog.compress": "false"}})
 from bench import frontier_pipeline
 t0 = time.monotonic()
 n, total = frontier_pipeline(spark, {n_urls})
@@ -144,8 +145,9 @@ def parse_event_log(path: str) -> dict:
     # job planning, AQE re-optimization, result handling. All of it is
     # driver-serial on a cluster too.
     busy = 0
+    busy_end = 0
     for s, e in sorted(stage_windows):
-        s = max(s, busy_end) if (busy_end := locals().get("busy_end", 0)) else s
+        s = max(s, busy_end)
         if e > s:
             busy += e - s
             busy_end = e
@@ -173,56 +175,55 @@ def amdahl_fit(t_lo: float, t_hi: float, c_lo: int, c_hi: int) -> tuple:
     return max(0.0, s), w
 
 
-def model_cluster(meas: dict, n_urls_meas: int, serial_driver_s: float) -> dict:
+def model_cluster(meas: dict, n_urls_meas: int, fixed_driver_s: float) -> dict:
     """Extrapolate the wave to DESIGN_URLS on N vs 4N executors.
 
-    Parallel CPU term scales per-URL (uniform shuffle keys, no
-    data-dependent serial stage — plan-shape guards in
-    tests/test_plans.py). Shuffle term: bytes/URL over the aggregate
-    NIC bandwidth of the reading side (each executor adds its own NIC,
-    so the term scales with executors). Driver term: per-task occupancy
-    x task count (tasks scale with data at fixed 128 MB partitions, NOT
-    with executors) + per-stage barrier latency — this is the only term
-    that does not shrink with executors, i.e. the model's serial floor.
+    Terms:
+    - CPU: measured core-us/URL x DESIGN_URLS over the cluster's cores.
+      Per-URL work is constant by construction (per-row canonicalize/
+      hash/sort, uniform shuffle keys — plan-shape guards in
+      tests/test_plans.py), and the sandbox number is an UPPER bound
+      per URL (it includes this box's memory-bandwidth contention).
+    - Network: shuffle bytes/URL x DESIGN_URLS over the aggregate NIC
+      bandwidth; each executor brings its own NIC, so this scales with
+      executors. Overlaps CPU (pipelined fetch).
+    - Driver dispatch: a throughput floor, tasks / DRIVER_TASKS_PER_S.
+      Task count scales with DATA (AQE ~128 MB partitions, floored at
+      one wavefront = cores per stage), so quadrupling executors
+      raises the floor — this is the term that genuinely does not
+      scale, and the model keeps it visible.
+    - Fixed driver planning: the measured driver-gap seconds (equal at
+      lo and hi occupancy in the instrumented pair -> per-RUN planning
+      cost, independent of data size and cluster size).
     """
-    scale = DESIGN_URLS / n_urls_meas
     cpu_per_url_us = meas["cpu_core_s"] * 1e6 / n_urls_meas
     shw_per_url = meas["shuffle_write_bytes"] / n_urls_meas
     shr_per_url = meas["shuffle_read_bytes"] / n_urls_meas
-    # measured driver occupancy per task (scheduler delay is executor-
-    # observed wait, an upper bound on driver dispatch cost; use the
-    # driver-gap share per task as the central estimate, floor at the
-    # public figure)
-    driver_ms_per_task = max(
-        DRIVER_MS_PER_TASK_FLOOR,
-        (serial_driver_s * 1000.0) / max(1, meas["tasks"]),
-    )
     total_cpu_core_s = cpu_per_url_us * DESIGN_URLS / 1e6
     total_sh_bytes = (shw_per_url + shr_per_url) * DESIGN_URLS
-    # tasks at design scale: one per TARGET_PARTITION_BYTES of shuffle,
-    # per shuffle stage (AQE coalesces to this), floored at 2x cores
     n_shuffle_stages = max(1, meas["stages"] - 1)
+    stage_bytes = (shw_per_url * DESIGN_URLS) / n_shuffle_stages
 
     def wall(n_exec: int) -> dict:
         cores = n_exec * CORES_PER_EXECUTOR
-        tasks = max(
-            int(total_sh_bytes / TARGET_PARTITION_BYTES),
-            2 * cores * n_shuffle_stages,
-        )
+        tasks_per_stage = max(int(stage_bytes / TARGET_PARTITION_BYTES), cores)
+        tasks = tasks_per_stage * n_shuffle_stages
         t_cpu = total_cpu_core_s / cores
         t_net = total_sh_bytes / (n_exec * EXEC_NET_BYTES_S)
-        # CPU and shuffle I/O overlap (pipelined fetch); driver cost and
-        # stage barriers do not
-        t_parallel = max(t_cpu, t_net)
-        t_driver = tasks * driver_ms_per_task / 1000.0
+        t_dispatch_floor = tasks / DRIVER_TASKS_PER_S
+        t_parallel = max(t_cpu, t_net, t_dispatch_floor)
         return {
             "executors": n_exec,
             "cores": cores,
             "tasks": tasks,
             "t_cpu_s": round(t_cpu, 1),
             "t_net_s": round(t_net, 1),
-            "t_driver_s": round(t_driver, 1),
-            "wall_s": round(t_parallel + t_driver, 1),
+            "t_dispatch_floor_s": round(t_dispatch_floor, 1),
+            "binding_term": max(
+                ("cpu", t_cpu), ("net", t_net), ("dispatch", t_dispatch_floor),
+                key=lambda kv: kv[1],
+            )[0],
+            "wall_s": round(fixed_driver_s + t_parallel, 1),
         }
 
     lo, hi = wall(N_EXECUTORS), wall(4 * N_EXECUTORS)
@@ -232,7 +233,7 @@ def model_cluster(meas: dict, n_urls_meas: int, serial_driver_s: float) -> dict:
         "cpu_core_us_per_url": round(cpu_per_url_us, 2),
         "shuffle_write_bytes_per_url": round(shw_per_url, 1),
         "shuffle_read_bytes_per_url": round(shr_per_url, 1),
-        "driver_ms_per_task": round(driver_ms_per_task, 3),
+        "fixed_driver_s": round(fixed_driver_s, 1),
         "n_shuffle_stages": n_shuffle_stages,
         "cluster_lo": lo,
         "cluster_hi": hi,
@@ -303,7 +304,7 @@ public figures (cited in tools/scale_model.py).
 | executor CPU | {mhi['cpu_core_s']:.0f} core-s -> **{m['cpu_core_us_per_url']} core-us/URL** |
 | shuffle written / read | {mhi['shuffle_write_bytes'] / 1e9:.2f} GB / {mhi['shuffle_read_bytes'] / 1e9:.2f} GB -> **{m['shuffle_write_bytes_per_url']} + {m['shuffle_read_bytes_per_url']} B/URL** |
 | tasks / stages | {mhi['tasks']} / {mhi['stages']} |
-| driver gaps (wall not under any stage) | {mhi['driver_gap_s']} s -> {m['driver_ms_per_task']} ms/task driver occupancy |
+| driver gaps (wall not under any stage) | {mhi['driver_gap_s']} s (lo run: {r['event_metrics_lo']['driver_gap_s']} s — same order despite 4x walls, i.e. per-RUN planning, not per-task or per-URL) |
 | scheduler delay (executor-side queue wait) | {mhi['sched_delay_s']} s summed |
 | GC | {mhi['gc_s']} s summed |
 
@@ -312,52 +313,58 @@ public figures (cited in tools/scale_model.py).
 T(c) = S + W/c solved from the two walls: **W = {r['amdahl_fit']['work_core_s']:.0f} core-s,
 S = {r['amdahl_fit']['serial_s']:.1f} s**. Of S, {r['driver_serial_attributed_s']:.1f} s is
 driver-gap time (job planning, AQE re-optimization — stays serial on a
-cluster); the remainder is this box's shared-memory contention, which a
-cluster REMOVES (each executor brings its own memory channels and NIC —
-the Spark-free CPU probe in BENCH/BASELINE.md shows the same
-contention with zero Spark involvement).
+cluster, and enters the model below as the fixed term); the remainder
+is this box's shared-memory contention, which a cluster REMOVES (each
+executor brings its own memory channels and NIC — the Spark-free CPU
+probe in BENCH/BASELINE.md shows the same contention with zero Spark
+involvement).
 
 ## Extrapolated 10^10-URL wave
 
-Terms: parallel CPU = core-us/URL x 10^10 / cores; shuffle =
-bytes/URL x 10^10 over the aggregate NIC bandwidth ({EXEC_NET_BYTES_S / 1e9:.2f} GB/s
-x executors, 10 GbE baseline), overlapped with CPU (pipelined fetch);
-driver = {m['driver_ms_per_task']} ms/task x tasks (tasks = shuffle bytes /
-{TARGET_PARTITION_BYTES // (1024 * 1024)} MB AQE target x {m['n_shuffle_stages']} shuffle stages, floored at 2 x cores) —
-the one term that scales with DATA, not executors.
+wall = fixed_driver + max(t_cpu, t_net, t_dispatch):
+- t_cpu = core-us/URL x 10^10 / cores (per-URL work behind uniform
+  shuffle keys — fingerprint for dedup, salted (host, salt) for
+  scheduling; no skewed reducer, plan-shape guards in
+  tests/test_plans.py);
+- t_net = shuffle bytes/URL x 10^10 over aggregate NIC bandwidth
+  ({EXEC_NET_BYTES_S / 1e9:.2f} GB/s x executors, 10 GbE baseline), overlapped with CPU;
+- t_dispatch = tasks / {DRIVER_TASKS_PER_S:.0f} per second (Sparrow NSDI'13's
+  measured centralized-Spark-scheduler throughput — conservative), a
+  THROUGHPUT floor because dispatch overlaps execution. Tasks =
+  per-stage shuffle bytes / {TARGET_PARTITION_BYTES // (1024 * 1024)} MB (AQE target), floored at one
+  wavefront (= cores) per stage x {m['n_shuffle_stages']} shuffle stages — the term that
+  scales with DATA and cluster size, i.e. the honest scale limit.
 
-| config | executors | cores | tasks | CPU (s) | net (s) | driver (s) | wall (s) |
-|---|---|---|---|---|---|---|---|
-| N | {lo['executors']} | {lo['cores']} | {lo['tasks']:,} | {lo['t_cpu_s']} | {lo['t_net_s']} | {lo['t_driver_s']} | **{lo['wall_s']}** |
-| 4N | {hi['executors']} | {hi['cores']} | {hi['tasks']:,} | {hi['t_cpu_s']} | {hi['t_net_s']} | {hi['t_driver_s']} | **{hi['wall_s']}** |
+| config | executors | cores | tasks | t_cpu (s) | t_net (s) | t_dispatch (s) | binding | wall (s) |
+|---|---|---|---|---|---|---|---|---|
+| N | {lo['executors']} | {lo['cores']} | {lo['tasks']:,} | {lo['t_cpu_s']} | {lo['t_net_s']} | {lo['t_dispatch_floor_s']} | {lo['binding_term']} | **{lo['wall_s']}** |
+| 4N | {hi['executors']} | {hi['cores']} | {hi['tasks']:,} | {hi['t_cpu_s']} | {hi['t_net_s']} | {hi['t_dispatch_floor_s']} | {hi['binding_term']} | **{hi['wall_s']}** |
 
 **Extrapolated scaling efficiency T_N / (4 x T_4N) = {m['extrapolated_efficiency']}**
 (north-rule target >= 0.8).
 
-Why the efficiency holds at 4N where the box's raw number cannot: the
-wave's only non-scaling term is driver occupancy, {m['driver_ms_per_task']} ms/task
-x {hi['tasks']:,} tasks = {hi['t_driver_s']} s against a {hi['wall_s']} s wall. Every
-other term is per-URL work behind uniform shuffle keys (fingerprint for
-dedup, salted (host, salt) for scheduling — no skewed reducer;
-plan-shape guards in tests/test_plans.py), so quadrupling executors
-quadruples both compute AND the memory/NIC bandwidth feeding it. On
-this box the same experiment shares one memory system across all
-cores, which is exactly the term the fit isolates as S and the probe
-measures Spark-free.
+The 4N config's binding term is '{hi['binding_term']}' — when it is
+'dispatch', the model is saying the known public scale limit of a
+centralized Spark driver (not this engine's plan) is what eventually
+caps strong scaling; raising DRIVER_TASKS_PER_S to a modern measured
+value or sizing partitions larger moves the bar accordingly, and the
+JSON output makes that a one-parameter sensitivity check.
 
 ## Assumptions pinned
 
 - CPU core-us/URL and shuffle B/URL: measured above; constant per URL
   by construction (per-row canonicalize/hash/sort work, no
-  superlinear operator in the wave).
+  superlinear operator in the wave), and measured UNDER this box's
+  memory contention, so the per-URL figure is an upper bound.
 - 10 GbE/executor ({EXEC_NET_BYTES_S / 1e9:.2f} GB/s): conservative public cloud
-  baseline; 25 GbE halves t_net and raises efficiency.
-- Driver {m['driver_ms_per_task']} ms/task: measured driver-gap share per task on
-  this run (public floor {DRIVER_MS_PER_TASK_FLOOR} ms/task; Sparrow NSDI'13 measured
-  ~0.7 ms/task for the centralized Spark scheduler a decade ago).
-- Tasks sized to {TARGET_PARTITION_BYTES // (1024 * 1024)} MB (Spark AQE coalesce target), so task
-  count scales with data, not cluster size — strong scaling penalizes
-  the 4N config via barriers, which the model keeps.
+  baseline; 25 GbE divides t_net by 2.5 and raises efficiency.
+- Driver dispatch {DRIVER_TASKS_PER_S:.0f} tasks/s: Sparrow NSDI'13's measured
+  figure for the centralized Spark scheduler, a decade old and
+  conservative for Spark 4.
+- Fixed driver term {m['fixed_driver_s']} s: measured driver-gap seconds,
+  shown above to be size-independent (same order at lo and hi while
+  the walls differ 2.2x, and at a 24x smaller input in the tool's
+  smoke runs).
 - All raw JSON: tools/scale_model.py output, committed beside this file.
 """)
 
