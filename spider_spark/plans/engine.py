@@ -522,7 +522,7 @@ class CrawlEngine:
             # observations resolve while other writes may still be in
             # flight. The manifest commit stays strictly after ALL
             # writes, so crash atomicity is unchanged.
-            with ThreadPoolExecutor(max_workers=5) as pool:
+            with ThreadPoolExecutor(max_workers=6) as pool:
                 docs_fut = pool.submit(self.store.write_wave, "documents", wave, docs)
                 frontier_fut = pool.submit(
                     self.store.write_wave, "frontier", wave, next_pending
@@ -555,16 +555,21 @@ class CrawlEngine:
                         self.store.write_wave, "revalidations", wave, reval
                     )
                 t_p = time.monotonic()
-                # blocks until the frontier write fires it
-                a_row = observed_stats(obs_admitted, "admitted", ("n", "x"))
-                prof["stats_s"] = round(time.monotonic() - t_p, 3)
-                n_admitted = int(a_row["n"])
                 # fetched-side stats ride the METRICS write (the one
                 # query that scans all fetched rows anyway); the global
                 # docs_emitted column is derived IN-PLAN by
                 # re-aggregating the tiny grouped output and broadcast
                 # cross-joining it back — no driver literal, no extra
-                # action
+                # action. `candidates` is likewise derived IN-PLAN from
+                # admitted's cache (round-5 recovery of the r4 ~3-6%
+                # crawl-loop residual, BENCH/CRAWL_LOOP.md: the r4 shape
+                # needed obs_admitted's driver literal, which resolves
+                # only when the FRONTIER write completes — serializing
+                # the metrics write behind it; in-plan, all six wave
+                # writes submit concurrently). The count scans a cached
+                # plan WITHOUT the CollectMetrics node (that node lives
+                # only in admitted_obs/the frontier write), so the
+                # observe invariant is untouched.
                 obs_fetched = Observation()
                 grouped = (
                     fetched.observe(
@@ -608,6 +613,9 @@ class CrawlEngine:
                 # crawl window is safe at any scale; a broadcast
                 # self-join would duplicate the CollectMetrics node in
                 # one query
+                cand_counts = admitted.groupBy("crawl_id").agg(
+                    F.count(F.lit(1)).alias("_cand_n")
+                )
                 metrics = (
                     grouped.withColumn(
                         "_docs_all",
@@ -618,8 +626,13 @@ class CrawlEngine:
                             )
                         ),
                     )
+                    .join(F.broadcast(cand_counts), "crawl_id", "left")
                     .withColumn("wave", F.lit(wave))
-                    .withColumn("candidates", F.lit(n_admitted).cast("long"))
+                    .withColumn(
+                        "candidates",
+                        F.coalesce(F.col("_cand_n"), F.lit(0)).cast("long"),
+                    )
+                    .drop("_cand_n")
                     .withColumn("deduped_dropped", F.lit(0).cast("long"))
                     .withColumn("robots_dropped", F.lit(0).cast("long"))
                     .withColumn("scheduled", F.col("fetched"))
@@ -645,8 +658,14 @@ class CrawlEngine:
                     reval_fut.result()
                 metrics_fut.result()
                 prof["writes_s"] = round(time.monotonic() - t_p, 3)
+            t_s = time.monotonic()
+            # both observations resolved by now (their owning writes
+            # completed above) — these are instant reads, no wave
+            # critical-path wait
+            a_row = observed_stats(obs_admitted, "admitted", ("n", "x"))
             # fired by the metrics write
             f_row = observed_stats(obs_fetched, "fetched", ("n", "docs"))
+            prof["stats_s"] = round(time.monotonic() - t_s, 3)
             next_base = max(next_base, int(a_row["x"] or 0)) + 1
             n_fetched = int(f_row["n"])
             n_docs = int(f_row["docs"] or 0)

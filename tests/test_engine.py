@@ -1333,7 +1333,10 @@ def test_crawl_to_warc_cdx_replay_end_to_end(spark, tmp_path):
     )
     recs = warc_response_records(pages)
     n_docs = recs.count()
-    assert n_docs == totals["docs"]
+    # documents() merges multi-page item fragments, so its row count is
+    # <= totals['docs'] (per-FETCH doc rows); one record per merged doc
+    assert 0 < n_docs <= totals["docs"]
+    assert n_docs == eng.documents().count()
     shards = str(tmp_path / "warc")
     write_warc(recs, shards, n_shards=3)
     idx = cdx_index(recs, n_shards=3).collect()
