@@ -1032,7 +1032,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.doc_lines(F.col("lined")).alias("lines"),
     )
     staged = staged.select(
-        "*", TX.word_shingles_from(F.col("toks"), 2).alias("grams2")
+        "*",
+        TX.word_shingles_from(F.col("toks"), 2).alias("grams2"),
+        TX.word_shingles_from(F.col("toks"), 5).alias("grams5"),
     )
     mean_wl = TX.mean_word_length_from(F.col("toks"))
     sym_ratio = TX.symbol_word_ratio(F.col("lined"), F.col("toks"))
@@ -1053,6 +1055,10 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bullet.alias("bullet_frac"),
         ellipsis.alias("ellipsis_frac"),
         top2.alias("top2_frac"),
+        # round-5: the Gopher dup-n-gram class (n=5 representative) as
+        # all-integer within-doc counts — row-local HOFs, no shuffle
+        TX.top_ngram_count_from(F.col("grams5")).alias("top5_count"),
+        TX.dup_ngram_occurrences_from(F.col("grams5")).alias("dup5_occ"),
         TX.gopher_pass(
             F.size(F.col("toks")), mean_wl, sym_ratio, dupline, bullet, ellipsis, top2
         ).alias("gopher_pass"),
@@ -2850,7 +2856,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(text) AS DOUBLE) AS n_char
                 FROM h),
             g AS (
-                SELECT *, {_SHINGLES_SQL.format(nm1=1)} AS grams2 FROM s),
+                SELECT *, {_SHINGLES_SQL.format(nm1=1)} AS grams2,
+                       {_SHINGLES_SQL.format(nm1=4)} AS grams5 FROM s),
             tc AS MATERIALIZED (
                 SELECT token, count(*) AS n
                 FROM (SELECT unnest(toks) AS token FROM s)
@@ -2900,6 +2907,12 @@ def oracle_sql() -> dict[str, str]:
                          2.0 * CAST(list_max(list_transform(list_distinct(grams2),
                               gg -> len(list_filter(grams2, x -> x = gg))))
                               AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS top2_frac,
+                   CAST(CASE WHEN len(grams5) > 0 THEN
+                        list_max(list_transform(list_distinct(grams5),
+                             gg -> len(list_filter(grams5, x -> x = gg))))
+                        ELSE 0 END AS INT) AS top5_count,
+                   CAST(len(grams5) - len(list_distinct(grams5)) AS INT)
+                        AS dup5_occ,
                    (n_tokens >= 10 AND n_tokens <= 100000
                     AND mean_wl >= 3.0 AND mean_wl <= 10.0
                     AND sym_ratio <= 0.1 AND dupline_frac <= 0.30

@@ -234,6 +234,31 @@ def top_ngram_fraction_from(toks: Column, grams: Column, n: int) -> Column:
     )
 
 
+def top_ngram_count_from(grams: Column) -> Column:
+    """Occurrences of the single most frequent n-gram WITHIN the doc,
+    as an integer (hash-stable by construction); 0 for gram-less docs.
+    Same count-per-distinct-gram shape as
+    :func:`top_ngram_fraction_from` (see its materialization caveat);
+    row-local JVM HOFs, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return (
+        F.when(F.size(grams) > 0, F.array_max(counts)).otherwise(F.lit(0))
+    ).cast("int")
+
+
+def dup_ngram_occurrences_from(grams: Column) -> Column:
+    """Count of n-gram occurrences beyond each first within the doc —
+    the Gopher 'duplicate n-grams' family (Rae et al. 2021 App. A,
+    n = 5..10) at occurrence granularity (documented divergence from
+    the paper's character fraction: same signal, all-integer, so the
+    oracle hash can't wobble). Identity: size(grams) −
+    size(distinct(grams)). Row-local, no shuffle."""
+    return (F.size(grams) - F.size(F.array_distinct(grams))).cast("int")
+
+
 def gopher_pass(
     n_tokens: Column,
     mean_wl: Column,

@@ -2464,3 +2464,49 @@ def test_cdx_index_non_default_url_col(spark):
         ).collect()
     }
     assert got == base and len(got) == 12
+
+
+def test_ngram_repetition_counts(spark):
+    """Round-5 Gopher dup-n-gram class (within-doc, all-integer):
+    top_ngram_count = occurrences of the most frequent n-gram;
+    dup_ngram_occurrences = occurrences beyond each first
+    (= size - distinct size). Hand vectors incl. the gram-less short
+    doc (both 0) and a doc whose repeats only appear at n=2."""
+    from spider_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            # 'a b' appears 3x among 2-grams; the repeated 5-gram
+            # 'a b a b a' appears 2x (positions 1 and 3)
+            ("rep5", "a b a b a b a"),
+            # distinct everywhere: top counts 1, dup 0
+            ("uniq", "one two three four five six seven"),
+            # shorter than 5 tokens: no 5-grams at all
+            ("tiny", "x y z"),
+        ],
+        "doc_id string, text string",
+    )
+    staged = df.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        TX.word_shingles_from(F.col("toks"), 2).alias("g2"),
+        TX.word_shingles_from(F.col("toks"), 5).alias("g5"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id",
+            TX.top_ngram_count_from(F.col("g2")).alias("top2"),
+            TX.dup_ngram_occurrences_from(F.col("g2")).alias("dup2"),
+            TX.top_ngram_count_from(F.col("g5")).alias("top5"),
+            TX.dup_ngram_occurrences_from(F.col("g5")).alias("dup5"),
+        ).collect()
+    }
+    # rep5 2-grams: ab ba ab ba ab ba -> 'a b' 3x, 'b a' 3x; dup = 6-2
+    assert out["rep5"]["top2"] == 3 and out["rep5"]["dup2"] == 4
+    # rep5 5-grams: ababa babab ababa -> 'a b a b a' 2x; dup = 3-2
+    assert out["rep5"]["top5"] == 2 and out["rep5"]["dup5"] == 1
+    assert out["uniq"]["top2"] == 1 and out["uniq"]["dup2"] == 0
+    assert out["uniq"]["top5"] == 1 and out["uniq"]["dup5"] == 0
+    assert out["tiny"]["top5"] == 0 and out["tiny"]["dup5"] == 0
