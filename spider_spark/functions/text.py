@@ -222,11 +222,7 @@ def top_ngram_fraction_from(toks: Column, grams: Column, n: int) -> Column:
     distinct gram, which is why it must not be an unmaterialized
     expression."""
     ntok = F.size(toks).cast("double")
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
-    )
-    maxc = F.array_max(counts).cast("double")
+    maxc = top_ngram_count_from(grams).cast("double")
     return F.round(
         F.when((ntok > 0) & (F.size(grams) > 0), F.lit(float(n)) * maxc / ntok)
         .otherwise(0.0),

@@ -70,6 +70,13 @@ def sniff_media_type(content) -> "F.Column":
             F.lit("audio/wav"),
         )
         .when(
+            # UTF-16 BOMs before the frame-sync check (WHATWG sniffing
+            # checks BOMs first): FFFE is bit-wise a valid MPEG sync
+            # but overwhelmingly means UTF-16LE text on the web.
+            h.startswith("FFFE") | h.startswith("FEFF"),
+            F.lit("application/octet-stream"),
+        )
+        .when(
             # MPEG audio frame sync is 11 set bits: 0xFF then a second
             # byte >= 0xE0 (covers FFE2/FFF2/FFF3/FFFA/FFFB variants).
             # JPEG's FFD8FF is matched above so it can't reach here.

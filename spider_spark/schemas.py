@@ -135,6 +135,12 @@ URL_SEEN_FILTERS = T.StructType(
     ]
 )
 
+#: Per-(wave, host_bucket) lineage/metrics rows. ``wall_ms`` measures
+#: wave start -> metrics-plan build; since round 5 the metrics write is
+#: submitted CONCURRENTLY with the other wave writes (candidates is
+#: derived in-plan), so wall_ms covers schedule+fetch+parse but NOT the
+#: write phase — do not compare against pre-round-5 values, which
+#: included the frontier write (they blocked on its observation first).
 METRICS = T.StructType(
     [
         T.StructField("crawl_id", T.StringType(), False),

@@ -2370,6 +2370,10 @@ def test_sniff_media_type_signatures(spark):
         ("mp3_sync_e3", b"\xff\xe3frame", "audio/mpeg"),
         # 0xFFD8 is JPEG territory, 0xFFC0 < 0xE0 is NOT a frame sync
         ("not_sync", b"\xff\xc0junk", "application/octet-stream"),
+        # UTF-16 BOMs beat the frame-sync check (WHATWG order): FFFE is
+        # bit-wise a valid MPEG sync but means UTF-16LE text
+        ("utf16le_bom", b"\xff\xfeh\x00i\x00", "application/octet-stream"),
+        ("utf16be_bom", b"\xfe\xff\x00h\x00i", "application/octet-stream"),
         ("ogg", b"OggS\x00", "audio/ogg"),
         ("mp4", b"\x00\x00\x00\x18ftypisom", "video/mp4"),
         ("pdf", b"%PDF-1.7", "application/pdf"),

@@ -91,7 +91,12 @@ spark.stop()
     line = [l for l in out.stdout.splitlines() if l.startswith("MODELRESULT ")][-1]
     res = json.loads(line[len("MODELRESULT "):])
     logs = sorted(glob.glob(os.path.join(log_dir, res["app_id"] + "*")))
-    res["event_log"] = logs[-1] if logs else None
+    if not logs:
+        raise RuntimeError(
+            f"instrumented run (cpus={cpus}) produced no event log under "
+            f"{log_dir} for app {res['app_id']} — eventLog conf overridden?"
+        )
+    res["event_log"] = logs[-1]
     return res
 
 
@@ -259,7 +264,10 @@ def main() -> None:
     # part that stays serial on a cluster; the remainder is this box's
     # shared-memory contention (W rises with occupancy) + barrier
     # residue, which a cluster removes by adding private channels/NICs
-    driver_serial = min(s_fit, mhi["driver_gap_s"] or s_fit)
+    driver_serial = min(
+        s_fit,
+        mhi["driver_gap_s"] if mhi["driver_gap_s"] is not None else s_fit,
+    )
     model = model_cluster(mhi, n, driver_serial)
 
     result = {
@@ -284,6 +292,7 @@ def write_report(r: dict) -> None:
     m = r["model"]
     mhi = r["event_metrics_hi"]
     lo, hi = m["cluster_lo"], m["cluster_hi"]
+    wall_ratio = r["wall_s"]["lo"] / r["wall_s"]["hi"]
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / "SCALE_MODEL.md").write_text(f"""# Design-scale model — 10^10-URL wave on N vs 4N executors ({stamp})
@@ -304,7 +313,7 @@ public figures (cited in tools/scale_model.py).
 | executor CPU | {mhi['cpu_core_s']:.0f} core-s -> **{m['cpu_core_us_per_url']} core-us/URL** |
 | shuffle written / read | {mhi['shuffle_write_bytes'] / 1e9:.2f} GB / {mhi['shuffle_read_bytes'] / 1e9:.2f} GB -> **{m['shuffle_write_bytes_per_url']} + {m['shuffle_read_bytes_per_url']} B/URL** |
 | tasks / stages | {mhi['tasks']} / {mhi['stages']} |
-| driver gaps (wall not under any stage) | {mhi['driver_gap_s']} s (lo run: {r['event_metrics_lo']['driver_gap_s']} s — same order despite 4x walls, i.e. per-RUN planning, not per-task or per-URL) |
+| driver gaps (wall not under any stage) | {mhi['driver_gap_s']} s (lo run: {r['event_metrics_lo']['driver_gap_s']} s — same order despite {wall_ratio:.1f}x walls, i.e. per-RUN planning, not per-task or per-URL) |
 | scheduler delay (executor-side queue wait) | {mhi['sched_delay_s']} s summed |
 | GC | {mhi['gc_s']} s summed |
 
@@ -363,8 +372,8 @@ JSON output makes that a one-parameter sensitivity check.
   conservative for Spark 4.
 - Fixed driver term {m['fixed_driver_s']} s: measured driver-gap seconds,
   shown above to be size-independent (same order at lo and hi while
-  the walls differ 2.2x, and at a 24x smaller input in the tool's
-  smoke runs).
+  the walls differ {wall_ratio:.1f}x, and at a 24x smaller input in the
+  tool's smoke runs).
 - All raw JSON: tools/scale_model.py output, committed beside this file.
 """)
 
